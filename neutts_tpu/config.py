@@ -1,0 +1,279 @@
+"""Model and pipeline configuration for the TPU-native NeuTTS framework.
+
+Capability parity notes (reference: neuphonic/neutts-air):
+  * backbone sizes — reference README.md:42-45 (~360M Air / ~120M Nano active);
+    the Air backbone derives from Qwen2.5-0.5B (reference TRAINING.md:33).
+  * context window 2048 — reference neutts/neutts.py:85.
+  * codec: 50 Hz, single 65,536-entry codebook, 16 kHz in / 24 kHz out —
+    reference README.md:34, finetune_config.yaml:7, neutts/neutts.py:84-86.
+  * vocab recipe (6 speech-control specials + 65,536 speech tokens appended to
+    the text tokenizer) — reference TRAINING.md:38-58.
+
+Everything here is static (hashable) so configs can be closed over by jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# --- Special-token layout -----------------------------------------------------
+# The reference appends, in order, 6 control tokens then 65,536 speech tokens to
+# the backbone tokenizer (reference TRAINING.md:38-56). Ids below follow that
+# layout relative to `n_text_tokens`; when loading a real checkpoint the
+# converter overrides them from tokenizer metadata.
+SPECIAL_TOKEN_NAMES: Tuple[str, ...] = (
+    "<|TEXT_REPLACE|>",
+    "<|TEXT_PROMPT_START|>",
+    "<|TEXT_PROMPT_END|>",
+    "<|SPEECH_REPLACE|>",
+    "<|SPEECH_GENERATION_START|>",
+    "<|SPEECH_GENERATION_END|>",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TokenLayout:
+    """Where the speech-control and speech-code tokens live in the vocab."""
+
+    n_text_tokens: int  # size of the underlying text tokenizer
+    n_special_tokens: int = len(SPECIAL_TOKEN_NAMES)
+    codebook_size: int = 65_536
+
+    @property
+    def text_replace(self) -> int:
+        return self.n_text_tokens + 0
+
+    @property
+    def text_prompt_start(self) -> int:
+        return self.n_text_tokens + 1
+
+    @property
+    def text_prompt_end(self) -> int:
+        return self.n_text_tokens + 2
+
+    @property
+    def speech_replace(self) -> int:
+        return self.n_text_tokens + 3
+
+    @property
+    def speech_gen_start(self) -> int:
+        return self.n_text_tokens + 4
+
+    @property
+    def speech_gen_end(self) -> int:
+        return self.n_text_tokens + 5
+
+    @property
+    def speech_base(self) -> int:
+        """Token id of <|speech_0|>."""
+        return self.n_text_tokens + self.n_special_tokens
+
+    @property
+    def vocab_size(self) -> int:
+        return self.speech_base + self.codebook_size
+
+    def speech_token(self, code: int) -> int:
+        return self.speech_base + code
+
+    def code_of(self, token: int) -> int:
+        return token - self.speech_base
+
+
+# Qwen2.5 tokenizer length (151,643 BPE merges + 22 added specials); see
+# reference TRAINING.md:33 for the Qwen2.5-0.5B provenance of the backbone.
+QWEN25_TEXT_TOKENS = 151_665
+DEFAULT_LAYOUT = TokenLayout(n_text_tokens=QWEN25_TEXT_TOKENS)
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    """Qwen2.5-style causal LM (RMSNorm, SwiGLU, GQA, RoPE, QKV bias)."""
+
+    name: str
+    vocab_size: int
+    hidden_size: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    tie_embeddings: bool = True
+    max_context: int = 2048  # reference neutts/neutts.py:85
+    n_text_tokens: int = QWEN25_TEXT_TOKENS
+    dtype: str = "bfloat16"
+
+    @property
+    def layout(self) -> TokenLayout:
+        return TokenLayout(n_text_tokens=self.n_text_tokens)
+
+    @property
+    def q_dim(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+    @property
+    def padded_vocab(self) -> int:
+        """Embedding rows rounded up to a lane multiple for MXU-friendly matmuls."""
+        return round_up(self.vocab_size, 256)
+
+    def scaled(self, **kw) -> "BackboneConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _lm(name: str, layout: TokenLayout, **kw) -> BackboneConfig:
+    return BackboneConfig(
+        name=name,
+        vocab_size=layout.vocab_size,
+        n_text_tokens=layout.n_text_tokens,
+        **kw,
+    )
+
+
+# NeuTTS-Air: Qwen2.5-0.5B geometry (hidden 896 / 24 layers / 14 heads / 2 KV
+# heads / ffn 4864), extended vocab. ~358M non-embedding params, ~553M with the
+# tied embedding — matches reference README.md:44 (~360M / ~552M incl. emb).
+AIR = _lm(
+    "neutts-air",
+    DEFAULT_LAYOUT,
+    hidden_size=896,
+    n_layers=24,
+    n_heads=14,
+    n_kv_heads=2,
+    head_dim=64,
+    intermediate_size=4864,
+)
+
+# NeuTTS-Nano: ~120M active / ~229M incl. embeddings (reference README.md:45).
+# 512-wide embedding gives 217k x 512 = 111M embedding params; 12 x (hidden 768)
+# blocks give ~120M active.
+NANO = _lm(
+    "neutts-nano",
+    DEFAULT_LAYOUT,
+    hidden_size=512,
+    n_layers=24,
+    n_heads=8,
+    n_kv_heads=2,
+    head_dim=64,
+    intermediate_size=2816,
+)
+
+# Tiny config for unit tests (same layout logic on a toy vocab).
+TEST_LAYOUT = TokenLayout(n_text_tokens=320, codebook_size=64)
+TINY = _lm(
+    "neutts-tiny",
+    TEST_LAYOUT,
+    hidden_size=64,
+    n_layers=2,
+    n_heads=4,
+    n_kv_heads=2,
+    head_dim=16,
+    intermediate_size=128,
+    max_context=128,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """NeuCodec-equivalent: 16 kHz in -> 50 Hz FSQ codes -> 24 kHz out.
+
+    Invariants pinned by the reference: frame rate 50 Hz, single codebook of
+    65,536 entries, encoder input 16 kHz mono, decoder output 24 kHz, decoder
+    hop 480 samples (reference neutts/neutts.py:84-86, README.md:34).
+    FSQ with 8 dims x 4 levels gives exactly 4**8 = 65,536 codes.
+    """
+
+    name: str = "neucodec-tpu"
+    sample_rate_in: int = 16_000
+    sample_rate_out: int = 24_000
+    frame_rate: int = 50
+    codebook_size: int = 65_536
+    fsq_levels: Tuple[int, ...] = (4, 4, 4, 4, 4, 4, 4, 4)
+    # encoder: downsample 16000/50 = 320x
+    enc_strides: Tuple[int, ...] = (2, 4, 5, 8)
+    enc_channels: Tuple[int, ...] = (32, 64, 128, 256)
+    enc_hidden: int = 256
+    # decoder: upsample 24000/50 = 480x
+    dec_strides: Tuple[int, ...] = (6, 5, 4, 4)
+    dec_channels: int = 512
+    dec_kernels: Tuple[int, ...] = (12, 10, 8, 8)
+    resblock_kernels: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    dtype: str = "float32"
+
+    @property
+    def hop_in(self) -> int:
+        h = 1
+        for s in self.enc_strides:
+            h *= s
+        return h  # 320
+
+    @property
+    def hop_out(self) -> int:
+        h = 1
+        for s in self.dec_strides:
+            h *= s
+        return h  # 480
+
+    @property
+    def fsq_dim(self) -> int:
+        return len(self.fsq_levels)
+
+
+CODEC = CodecConfig()
+CODEC_TINY = CodecConfig(
+    name="neucodec-tiny",
+    enc_channels=(8, 8, 16, 16),
+    enc_hidden=16,
+    dec_channels=32,
+    resblock_kernels=(3,),
+    resblock_dilations=((1, 3),),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingConfig:
+    """Chunked vocoder streaming windows (reference neutts/neutts.py:86-91)."""
+
+    overlap_frames: int = 1
+    frames_per_chunk: int = 25
+    lookforward: int = 5
+    lookback: int = 50
+    hop_length: int = 480
+
+    @property
+    def stride_samples(self) -> int:
+        return self.frames_per_chunk * self.hop_length
+
+
+STREAMING = StreamingConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Decode-time sampling (reference neutts/neutts.py:338-346, 363-369)."""
+
+    temperature: float = 1.0
+    top_k: int = 50
+    min_new_tokens: int = 50
+    max_context: int = 2048
+    greedy: bool = False
+
+
+BY_NAME = {
+    "air": AIR,
+    "nano": NANO,
+    "tiny": TINY,
+    "neutts-air": AIR,
+    "neutts-nano": NANO,
+}

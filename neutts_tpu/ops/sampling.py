@@ -1,0 +1,75 @@
+"""On-device token sampling for the AR decode loop.
+
+Replaces the sampling done on host by llama.cpp / HF `generate` in the
+reference (neutts/neutts.py:338-346: do_sample, temperature=1.0, top_k=50,
+min_new_tokens=50; neutts/neutts.py:363-369 for the GGUF path). Runs entirely
+inside the jitted decode while-loop — no per-token host round-trip.
+
+Gumbel-max over the top-k slice is used instead of building a full-vocab
+categorical: `lax.top_k` over the 217k-entry logit row is the only
+vocab-length op, and it is fused with the LM-head matmul by XLA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from neutts_tpu.config import SamplingConfig
+
+
+def sample_tokens(
+    logits: jax.Array,  # [B, V] f32
+    key: jax.Array,
+    *,
+    temperature: float = 1.0,
+    top_k: int = 50,
+    greedy: bool = False,
+) -> jax.Array:
+    """Sample one token per row. Greedy mode is exact argmax (parity gates)."""
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    vals, idx = lax.top_k(logits, top_k)  # [B, k]
+    vals = vals / jnp.maximum(temperature, 1e-6)
+    g = jax.random.gumbel(key, vals.shape, vals.dtype)
+    choice = jnp.argmax(vals + g, axis=-1)  # [B]
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+def mask_eos(
+    logits: jax.Array,  # [B, V]
+    eos_id: int,
+    step: jax.Array,  # scalar int32 — tokens generated so far
+    min_new_tokens: int,
+) -> jax.Array:
+    """Suppress EOS before `min_new_tokens` (HF MinNewTokensLengthLogitsProcessor
+    semantics used by the reference, neutts/neutts.py:346)."""
+    suppress = step < min_new_tokens
+    col = jnp.where(suppress, -jnp.inf, logits[:, eos_id])
+    return logits.at[:, eos_id].set(col)
+
+
+def constrain_to_speech(
+    logits: jax.Array,  # [B, V]
+    speech_base: int,
+    codebook_size: int,
+    eos_id: int,
+) -> jax.Array:
+    """Optionally restrict sampling to speech tokens + EOS.
+
+    The reference relies on the model to stay in the speech-token range; this
+    guard makes batched serving robust to rare off-distribution picks (a
+    non-speech token would be silently dropped by the regex extraction in the
+    reference, neutts/neutts.py:276).
+    """
+    V = logits.shape[-1]
+    ar = jnp.arange(V, dtype=jnp.int32)
+    ok = ((ar >= speech_base) & (ar < speech_base + codebook_size)) | (ar == eos_id)
+    return jnp.where(ok[None, :], logits, -jnp.inf)
+
+
+def apply_sampling_config(
+    logits: jax.Array, cfg: SamplingConfig, eos_id: int, step: jax.Array
+) -> jax.Array:
+    return mask_eos(logits, eos_id, step, cfg.min_new_tokens)

@@ -1,0 +1,172 @@
+"""Jit-compiled autoregressive decode: prefill + `lax.while_loop` generation.
+
+This is the TPU-native replacement for the reference's hot loop — HF
+`backbone.generate(...)` (reference neutts/neutts.py:334-352) and llama.cpp's
+C++ decode (reference neutts/neutts.py:354-371). Design:
+
+* static shapes everywhere: prompts are LEFT-padded to a bucket length, the KV
+  cache is preallocated at `max_context`, and the output buffer is
+  `[B, max_new]`;
+* the whole generate (prefill + while_loop) is one jitted function — tokens
+  never visit the host until the final buffer readback;
+* per-sequence EOS masking: finished rows keep emitting EOS into the buffer
+  but stop advancing their length; the loop exits when all rows are done or
+  the context fills (reference semantics: max_length=2048, eos =
+  <|SPEECH_GENERATION_END|>, min_new_tokens=50);
+* sampling (temperature/top-k) happens on device with a counted PRNG key.
+
+Buckets: `generate` is compiled per (batch, prompt_bucket) pair; callers
+round prompt lengths up to a small set of buckets to bound recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from neutts_tpu.config import BackboneConfig, SamplingConfig
+from neutts_tpu.models import backbone as bb
+from neutts_tpu.ops import sampling as smp
+
+
+class GenerateResult(NamedTuple):
+    tokens: jax.Array  # [B, max_new] int32 — generated continuation (EOS-filled)
+    lengths: jax.Array  # [B] int32 — number of valid tokens per row (incl. EOS)
+    steps: jax.Array  # scalar int32 — loop iterations executed
+
+
+class _LoopState(NamedTuple):
+    cache: bb.KVCache
+    token: jax.Array  # [B] last emitted token
+    out: jax.Array  # [B, max_new]
+    done: jax.Array  # [B] bool
+    lengths: jax.Array  # [B] int32
+    step: jax.Array  # scalar int32
+    key: jax.Array
+
+
+def _generate_impl(
+    cfg: BackboneConfig,
+    sampling: SamplingConfig,
+    eos_id: int,
+    max_new: int,
+    params,
+    tokens: jax.Array,  # [B, Lp] left-padded prompts
+    prompt_lens: jax.Array,  # [B]
+    key: jax.Array,
+) -> GenerateResult:
+    B, Lp = tokens.shape
+    pad = (Lp - prompt_lens).astype(jnp.int32)
+    cache = bb.KVCache.create(cfg, B, max_len=cfg.max_context)
+
+    logits, cache = bb.prefill(cfg, params, tokens, prompt_lens, cache)
+
+    def sample(logits, step, key):
+        logits = smp.mask_eos(logits, eos_id, step, sampling.min_new_tokens)
+        return smp.sample_tokens(
+            logits,
+            key,
+            temperature=sampling.temperature,
+            top_k=sampling.top_k,
+            greedy=sampling.greedy,
+        )
+
+    k0, key = jax.random.split(key)
+    first = sample(logits, jnp.int32(0), k0)
+    out = jnp.full((B, max_new), eos_id, jnp.int32)
+    out = out.at[:, 0].set(first)
+    done0 = first == eos_id
+    state = _LoopState(
+        cache=cache,
+        token=first,
+        out=out,
+        done=done0,
+        lengths=jnp.ones((B,), jnp.int32),
+        step=jnp.int32(1),
+        key=key,
+    )
+
+    # hard cap: never write past the context window (reference max_length=2048)
+    cap = min(max_new, cfg.max_context - Lp)
+
+    def cond(s: _LoopState):
+        return (s.step < cap) & ~jnp.all(s.done)
+
+    def body(s: _LoopState):
+        cur_index = Lp + s.step - 1  # cache slot for the token we feed in
+        logits, cache = bb.decode_step(cfg, params, s.token, s.cache, cur_index, pad)
+        kstep, key = jax.random.split(s.key)
+        nxt = sample(logits, s.step, kstep)
+        nxt = jnp.where(s.done, eos_id, nxt)
+        out = lax.dynamic_update_slice(s.out, nxt[:, None], (0, s.step))
+        newly_done = nxt == eos_id
+        lengths = s.lengths + jnp.where(s.done, 0, 1)
+        return _LoopState(
+            cache=cache,
+            token=nxt,
+            out=out,
+            done=s.done | newly_done,
+            lengths=lengths,
+            step=s.step + 1,
+            key=key,
+        )
+
+    final = lax.while_loop(cond, body, state)
+    return GenerateResult(tokens=final.out, lengths=final.lengths, steps=final.step)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "sampling", "eos_id", "max_new"), donate_argnums=()
+)
+def generate(
+    cfg: BackboneConfig,
+    sampling: SamplingConfig,
+    eos_id: int,
+    max_new: int,
+    params,
+    tokens: jax.Array,
+    prompt_lens: jax.Array,
+    key: jax.Array,
+) -> GenerateResult:
+    """Jitted prefill + AR decode. See `_generate_impl` for semantics."""
+    return _generate_impl(cfg, sampling, eos_id, max_new, params, tokens, prompt_lens, key)
+
+
+# --- host-side helpers --------------------------------------------------------
+
+PROMPT_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048)
+
+
+def bucket_length(n: int, buckets=PROMPT_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds max bucket {buckets[-1]}")
+
+
+def pad_prompts(prompts, pad_id: int, bucket: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """LEFT-pad a list of id-lists to a shared bucketed length.
+
+    Left padding puts every row's last prompt token at the same index, so the
+    decode loop writes new KV rows at one shared slot per step (no scatter).
+    """
+    lens = [len(p) for p in prompts]
+    L = bucket or bucket_length(max(lens))
+    if max(lens) > L:
+        raise ValueError(f"prompt of length {max(lens)} does not fit bucket {L}")
+    arr = [[pad_id] * (L - len(p)) + list(p) for p in prompts]
+    return jnp.asarray(arr, jnp.int32), jnp.asarray(lens, jnp.int32)
+
+
+def extract(result: GenerateResult, row: int, eos_id: int) -> list:
+    """Host-side: trim row `row` to its valid continuation, excluding EOS."""
+    toks = list(map(int, result.tokens[row]))
+    n = int(result.lengths[row])
+    toks = toks[:n]
+    if toks and toks[-1] == eos_id:
+        toks = toks[:-1]
+    return toks
