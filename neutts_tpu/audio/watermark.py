@@ -1,0 +1,84 @@
+"""Perceptual audio watermarking (host-side post-process stage).
+
+Fills the role of the optional Perth implicit watermarker in the reference
+(reference neutts/neutts.py:110-121, 237-243; applied per-chunk in streaming
+at :424-428). The Perth package is a closed dependency; this module provides
+an equivalent-capability stage: an inaudible, detectable watermark with the
+same `apply_watermark(wav, sample_rate)` surface, plus `get_watermark` for
+detection. Pluggable — if `perth` is importable, `get_watermarker()` returns
+it instead for exact reference behavior.
+
+Scheme: spread-spectrum. A keyed PRN (+-1) sequence is shaped by the local
+signal envelope (simple psychoacoustic masking: watermark power tracks signal
+power, silence stays silent) and added at ~-40 dB relative level. Detection
+correlates the residual against the keyed PRN per block and aggregates a
+normalized score; unwatermarked audio scores ~0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BLOCK = 4096
+_REL_LEVEL = 10 ** (-40 / 20)  # -40 dB relative to local envelope
+_DEFAULT_KEY = 0x5EED
+
+
+def _prn(key: int, n: int) -> np.ndarray:
+    rng = np.random.default_rng(key)
+    return rng.choice(np.asarray([-1.0, 1.0], np.float32), size=n)
+
+
+def _envelope(x: np.ndarray, win: int = 512) -> np.ndarray:
+    """Local RMS envelope, same length as x."""
+    pad = win // 2
+    xx = np.pad(x.astype(np.float64) ** 2, (pad, pad), mode="edge")
+    c = np.cumsum(xx)
+    e = (c[win:] - c[:-win]) / win
+    e = np.sqrt(np.maximum(e[: len(x)], 1e-10))
+    return e.astype(np.float32)
+
+
+class SpreadSpectrumWatermarker:
+    """Keyed spread-spectrum watermark with Perth-compatible surface."""
+
+    def __init__(self, key: int = _DEFAULT_KEY):
+        self.key = key
+
+    def apply_watermark(self, wav: np.ndarray, sample_rate: int = 24_000) -> np.ndarray:
+        x = np.asarray(wav, np.float32)
+        if x.size == 0:
+            return x
+        prn = _prn(self.key, len(x))
+        env = _envelope(x)
+        marked = x + _REL_LEVEL * env * prn
+        return np.clip(marked, -1.0, 1.0).astype(x.dtype if x.dtype.kind == "f" else np.float32)
+
+    def get_watermark(self, wav: np.ndarray, sample_rate: int = 24_000) -> float:
+        """Detection score in [0, 1]; > 0.5 indicates the watermark."""
+        x = np.asarray(wav, np.float64)
+        if x.size < _BLOCK:
+            pad = _BLOCK - x.size
+            x = np.pad(x, (0, pad))
+        prn = _prn(self.key, len(x)).astype(np.float64)
+        env = _envelope(x.astype(np.float32)).astype(np.float64)
+        # matched filter: correlate with the expected embedded signal
+        expected = env * prn
+        num = float(np.dot(x, expected))
+        den = float(np.linalg.norm(x) * np.linalg.norm(expected)) + 1e-12
+        corr = num / den
+        # embedded correlation is ~_REL_LEVEL/sqrt(1+_REL_LEVEL^2) of total energy
+        score = corr / _REL_LEVEL
+        return float(np.clip(score, 0.0, 1.0))
+
+
+def get_watermarker(prefer_perth: bool = True):
+    """Perth when installed (exact reference behavior), else the built-in."""
+    if prefer_perth:
+        try:
+            import perth  # type: ignore
+
+            return perth.PerthImplicitWatermarker()
+        except Exception:
+            pass
+    return SpreadSpectrumWatermarker()

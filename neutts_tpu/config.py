@@ -179,7 +179,7 @@ TINY = _lm(
     n_kv_heads=2,
     head_dim=16,
     intermediate_size=128,
-    max_context=128,
+    max_context=512,
 )
 
 

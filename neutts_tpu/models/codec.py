@@ -222,8 +222,15 @@ def encode_latent(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array
 
 
 def encode(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array:
-    """wav [B, T@16k] -> int32 codes [B, T_codes]. Parity surface for
-    `NeuCodec.encode_code` (reference neutts/neutts.py:270)."""
+    """wav [B, T@16k] -> int32 codes [B, floor(T/320)]. Parity surface for
+    `NeuCodec.encode_code` (reference neutts/neutts.py:270).
+
+    Frame count is floor(T/320): verified against the shipped artifacts —
+    dave.wav resampled to 16 kHz is 119,157 samples and dave.pt holds 372
+    codes (119157//320 = 372, ceil would give 373); jo likewise 653.
+    """
+    T = wav.shape[-1]
+    wav = wav[..., : (T // cfg.hop_in) * cfg.hop_in]
     z = fsq_bound(encode_latent(cfg, params, wav))
     digits = fsq_quantize(z, cfg.fsq_levels)
     return digits_to_code(digits, cfg.fsq_levels)

@@ -170,3 +170,106 @@ def extract(result: GenerateResult, row: int, eos_id: int) -> list:
     if toks and toks[-1] == eos_id:
         toks = toks[:-1]
     return toks
+
+
+# --- segmented decode (streaming) --------------------------------------------
+#
+# `lax.while_loop` cannot yield to the host mid-generation, so streaming uses
+# a segmented loop: prefill once, then one jitted call per chunk of
+# `frames_per_chunk` tokens, with all state (KV cache, rng, done flags) kept
+# on device between calls. This is the decode half of the reference's
+# streaming path (reference neutts/neutts.py:373-465), with llama.cpp's
+# per-token Python callback replaced by per-chunk device steps.
+
+
+class DecodeState(NamedTuple):
+    cache: bb.KVCache
+    token: jax.Array  # [B] last emitted token
+    done: jax.Array  # [B] bool
+    lengths: jax.Array  # [B] int32 — generated tokens so far (incl. EOS)
+    step: jax.Array  # scalar int32 — tokens generated so far
+    key: jax.Array
+    pad: jax.Array  # [B] left-pad amounts
+    prompt_end: jax.Array  # scalar int32 — Lp
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "eos_id"))
+def prefill_init(
+    cfg: BackboneConfig,
+    sampling: SamplingConfig,
+    eos_id: int,
+    params,
+    tokens: jax.Array,  # [B, Lp] left-padded
+    prompt_lens: jax.Array,
+    key: jax.Array,
+) -> Tuple[DecodeState, jax.Array]:
+    """Prefill + first sampled token. Returns (state, first_token [B])."""
+    B, Lp = tokens.shape
+    pad = (Lp - prompt_lens).astype(jnp.int32)
+    cache = bb.KVCache.create(cfg, B, max_len=cfg.max_context)
+    logits, cache = bb.prefill(cfg, params, tokens, prompt_lens, cache)
+    logits = smp.mask_eos(logits, eos_id, jnp.int32(0), sampling.min_new_tokens)
+    k0, key = jax.random.split(key)
+    first = smp.sample_tokens(
+        logits, k0, temperature=sampling.temperature, top_k=sampling.top_k,
+        greedy=sampling.greedy,
+    )
+    state = DecodeState(
+        cache=cache,
+        token=first,
+        done=first == eos_id,
+        lengths=jnp.ones((B,), jnp.int32),
+        step=jnp.int32(1),
+        key=key,
+        pad=pad,
+        prompt_end=jnp.int32(Lp),
+    )
+    return state, first
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "eos_id", "n_steps"))
+def decode_segment(
+    cfg: BackboneConfig,
+    sampling: SamplingConfig,
+    eos_id: int,
+    n_steps: int,
+    params,
+    state: DecodeState,
+) -> Tuple[DecodeState, jax.Array]:
+    """Generate up to n_steps tokens; returns (state, tokens [B, n_steps]).
+
+    Rows that finish keep emitting EOS; the caller checks `state.done` /
+    `state.lengths` to know how much is real. Steps that would overflow the
+    context emit EOS.
+    """
+    B = state.token.shape[0]
+
+    def body(i, carry):
+        s, out = carry
+        cur_index = s.prompt_end + s.step - 1
+        in_ctx = cur_index < cfg.max_context - 1
+        logits, cache = bb.decode_step(cfg, params, s.token, s.cache, cur_index, s.pad)
+        logits = smp.mask_eos(logits, eos_id, s.step, sampling.min_new_tokens)
+        kstep, key = jax.random.split(s.key)
+        nxt = smp.sample_tokens(
+            logits, kstep, temperature=sampling.temperature, top_k=sampling.top_k,
+            greedy=sampling.greedy,
+        )
+        nxt = jnp.where(s.done | ~in_ctx, eos_id, nxt)
+        out = lax.dynamic_update_slice(out, nxt[:, None], (0, i))
+        lengths = s.lengths + jnp.where(s.done, 0, 1)
+        s = DecodeState(
+            cache=cache,
+            token=nxt,
+            done=s.done | (nxt == eos_id),
+            lengths=lengths,
+            step=s.step + 1,
+            key=key,
+            pad=s.pad,
+            prompt_end=s.prompt_end,
+        )
+        return s, out
+
+    out0 = jnp.full((B, n_steps), eos_id, jnp.int32)
+    state, out = lax.fori_loop(0, n_steps, body, (state, out0))
+    return state, out

@@ -1,0 +1,259 @@
+"""Grapheme-to-phoneme front-end (host-side, pre-device stage).
+
+The reference shells out to espeak-ng via the `phonemizer` package with
+`EspeakBackend("en-us", preserve_punctuation=True, with_stress=True)`
+(reference neutts/neutts.py:102-104, 297-301). Phonemization is pure host
+work, so in the TPU framework it is a precomputed stage that runs before
+device dispatch (SURVEY.md §7 architecture sketch).
+
+Backends, selected by `get_g2p()`:
+
+* `EspeakG2P` — exact reference behavior via phonemizer/espeak-ng when those
+  are installed (required for bit-exact prompt parity with the reference).
+* `RuleG2P` — built-in, dependency-free English G2P: lexicon of frequent /
+  irregular words + letter-to-sound rules, IPA output with primary-stress
+  marks and preserved punctuation. Deterministic; used when espeak is
+  unavailable (as in this environment) and in tests.
+
+Both produce words joined by single spaces, matching the reference's
+post-processing (`" ".join(phones.split())`, neutts/neutts.py:299-301).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+_PUNCT_RE = re.compile(r"([.,!?;:()\"'—–-]+)")
+_WORD_RE = re.compile(r"[A-Za-z']+")
+
+# Frequent + irregular words (espeak-style en-us IPA, primary stress ˈ).
+_LEXICON = {
+    "a": "ɐ", "an": "ɐn", "the": "ðə", "of": "ʌv", "to": "tuː", "and": "ænd",
+    "in": "ɪn", "is": "ɪz", "it": "ɪt", "you": "juː", "that": "ðæt",
+    "he": "hiː", "she": "ʃiː", "was": "wʌz", "for": "fɔːɹ", "on": "ɑːn",
+    "are": "ɑːɹ", "as": "æz", "with": "wɪð", "his": "hɪz", "her": "hɜː",
+    "they": "ðeɪ", "i": "aɪ", "at": "æt", "be": "biː", "this": "ðɪs",
+    "have": "hæv", "from": "fɹʌm", "or": "ɔːɹ", "one": "wˈʌn", "had": "hæd",
+    "by": "baɪ", "word": "wˈɜːd", "words": "wˈɜːdz", "but": "bʌt",
+    "not": "nɑːt", "what": "wʌt", "all": "ɔːl", "were": "wɜː", "we": "wiː",
+    "when": "wɛn", "your": "jʊɹ", "can": "kæn", "said": "sˈɛd", "there": "ðɛɹ",
+    "use": "jˈuːs", "each": "ˈiːtʃ", "which": "wˈɪtʃ", "do": "duː",
+    "how": "haʊ", "their": "ðɛɹ", "if": "ɪf", "will": "wɪl", "up": "ʌp",
+    "other": "ˈʌðɚ", "about": "ɐbˈaʊt", "out": "aʊt", "many": "mˈɛni",
+    "then": "ðɛn", "them": "ðɛm", "these": "ðiːz", "so": "sˌoʊ",
+    "some": "sʌm", "would": "wʊd", "make": "mˈeɪk", "like": "lˈaɪk",
+    "him": "hɪm", "into": "ˌɪntʊ", "time": "tˈaɪm", "has": "hæz",
+    "look": "lˈʊk", "two": "tˈuː", "more": "mˈoːɹ", "write": "ɹˈaɪt",
+    "go": "ɡˈoʊ", "see": "sˈiː", "number": "nˈʌmbɚ", "no": "nˈoʊ",
+    "way": "wˈeɪ", "could": "kʊd", "people": "pˈiːpəl", "my": "maɪ",
+    "than": "ðɐn", "first": "fˈɜːst", "water": "wˈɔːɾɚ", "been": "bˌɪn",
+    "who": "hˈuː", "oil": "ˈɔɪl", "its": "ɪts", "now": "nˈaʊ",
+    "find": "fˈaɪnd", "long": "lˈɑːŋ", "down": "dˈaʊn", "day": "dˈeɪ",
+    "did": "dˈɪd", "get": "ɡɛt", "come": "kˈʌm", "made": "mˈeɪd",
+    "may": "mˈeɪ", "part": "pˈɑːɹt", "over": "ˈoʊvɚ", "new": "nˈuː",
+    "sound": "sˈaʊnd", "take": "tˈeɪk", "only": "ˈoʊnli", "little": "lˈɪɾəl",
+    "work": "wˈɜːk", "know": "nˈoʊ", "place": "plˈeɪs", "year": "jˈɪɹ",
+    "live": "lˈɪv", "me": "mˌiː", "back": "bˈæk", "give": "ɡˈɪv",
+    "most": "mˈoʊst", "very": "vˈɛɹi", "after": "ˈæftɚ", "thing": "θˈɪŋ",
+    "our": "aʊɚ", "just": "dʒˈʌst", "name": "nˈeɪm", "good": "ɡˈʊd",
+    "sentence": "sˈɛntəns", "man": "mˈæn", "think": "θˈɪŋk", "say": "sˈeɪ",
+    "great": "ɡɹˈeɪt", "where": "wˈɛɹ", "help": "hˈɛlp", "through": "θɹuː",
+    "much": "mˈʌtʃ", "before": "bɪfˈoːɹ", "line": "lˈaɪn", "right": "ɹˈaɪt",
+    "too": "tˈuː", "mean": "mˈiːn", "old": "ˈoʊld", "any": "ˈɛni",
+    "same": "sˈeɪm", "tell": "tˈɛl", "boy": "bˈɔɪ", "follow": "fˈɑːloʊ",
+    "came": "kˈeɪm", "want": "wˈɑːnt", "show": "ʃˈoʊ", "also": "ˈɔːlsoʊ",
+    "around": "ɐɹˈaʊnd", "form": "fˈɔːɹm", "three": "θɹˈiː", "small": "smˈɔːl",
+    "set": "sˈɛt", "put": "pˈʊt", "end": "ˈɛnd", "does": "dʌz",
+    "another": "ɐnˈʌðɚ", "well": "wˈɛl", "large": "lˈɑːɹdʒ", "must": "mʌst",
+    "big": "bˈɪɡ", "even": "ˈiːvən", "such": "sˈʌtʃ", "because": "bɪkˈʌz",
+    "turn": "tˈɜːn", "here": "hˈɪɹ", "why": "wˈaɪ", "ask": "ˈæsk",
+    "went": "wˈɛnt", "men": "mˈɛn", "read": "ɹˈiːd", "need": "nˈiːd",
+    "land": "lˈænd", "different": "dˈɪfɹənt", "home": "hˈoʊm",
+    "us": "ˌʌs", "move": "mˈuːv", "try": "tɹˈaɪ", "kind": "kˈaɪnd",
+    "hand": "hˈænd", "picture": "pˈɪktʃɚ", "again": "ɐɡˈɛn",
+    "change": "tʃˈeɪndʒ", "off": "ˈɔf", "play": "plˈeɪ", "spell": "spˈɛl",
+    "air": "ˈɛɹ", "away": "ɐwˈeɪ", "animal": "ˈænɪməl", "house": "hˈaʊs",
+    "point": "pˈɔɪnt", "page": "pˈeɪdʒ", "letter": "lˈɛɾɚ",
+    "mother": "mˈʌðɚ", "answer": "ˈænsɚ", "found": "fˈaʊnd",
+    "study": "stˈʌdi", "still": "stˈɪl", "learn": "lˈɜːn",
+    "should": "ʃʊd", "world": "wˈɜːld", "high": "hˈaɪ", "every": "ˈɛvɹi",
+    "near": "nˈɪɹ", "add": "ˈæd", "food": "fˈuːd", "between": "bɪtwˈiːn",
+    "own": "ˈoʊn", "below": "bɪlˈoʊ", "country": "kˈʌntɹi", "plant": "plˈænt",
+    "last": "lˈæst", "school": "skˈuːl", "father": "fˈɑːðɚ", "keep": "kˈiːp",
+    "tree": "tɹˈiː", "never": "nˈɛvɚ", "start": "stˈɑːɹt", "city": "sˈɪɾi",
+    "earth": "ˈɜːθ", "eye": "ˈaɪ", "eyes": "ˈaɪz", "light": "lˈaɪt",
+    "thought": "θˈɔːt", "head": "hˈɛd", "under": "ˈʌndɚ", "story": "stˈoːɹi",
+    "saw": "sˈɔː", "left": "lˈɛft", "don't": "dˈoʊnt", "few": "fjˈuː",
+    "while": "wˈaɪl", "along": "ɐlˈɑːŋ", "might": "mˈaɪt", "close": "klˈoʊs",
+    "something": "sˈʌmθɪŋ", "seem": "sˈiːm", "next": "nˈɛkst",
+    "hard": "hˈɑːɹd", "open": "ˈoʊpən", "example": "ɛɡzˈæmpəl",
+    "begin": "bɪɡˈɪn", "life": "lˈaɪf", "always": "ˈɔːlweɪz",
+    "those": "ðoʊz", "both": "bˈoʊθ", "paper": "pˈeɪpɚ",
+    "together": "təɡˈɛðɚ", "got": "ɡˈɑːt", "group": "ɡɹˈuːp",
+    "often": "ˈɔfən", "run": "ɹˈʌn", "important": "ɪmpˈoːɹtənt",
+    "until": "ʌntˈɪl", "children": "tʃˈɪldɹən", "side": "sˈaɪd",
+    "feet": "fˈiːt", "car": "kˈɑːɹ", "mile": "mˈaɪl", "night": "nˈaɪt",
+    "walk": "wˈɔːk", "sea": "sˈiː", "began": "bɪɡˈæn", "grow": "ɡɹˈoʊ",
+    "took": "tˈʊk", "river": "ɹˈɪvɚ", "four": "fˈoːɹ", "carry": "kˈæɹi",
+    "state": "stˈeɪt", "once": "wˈʌns", "book": "bˈʊk", "hear": "hˈɪɹ",
+    "stop": "stˈɑːp", "without": "wɪðˈaʊt", "second": "sˈɛkənd",
+    "later": "lˈeɪɾɚ", "miss": "mˈɪs", "idea": "aɪdˈiə", "enough": "ɪnˈʌf",
+    "eat": "ˈiːt", "face": "fˈeɪs", "watch": "wˈɑːtʃ", "far": "fˈɑːɹ",
+    "really": "ɹˈɪli", "almost": "ˈɔːlmoʊst", "let": "lˈɛt",
+    "above": "əbˈʌv", "girl": "ɡˈɜːl", "sometimes": "sˈʌmtaɪmz",
+    "mountain": "mˈaʊntɪn", "cut": "kˈʌt", "young": "jˈʌŋ", "talk": "tˈɔːk",
+    "soon": "sˈuːn", "list": "lˈɪst", "song": "sˈɑːŋ", "being": "bˈiːɪŋ",
+    "leave": "lˈiːv", "family": "fˈæmɪli", "it's": "ɪts", "i'm": "aɪm",
+    "love": "lˈʌv", "heard": "hˈɜːd", "today": "tədˈeɪ",
+    "voice": "vˈɔɪs", "speech": "spˈiːtʃ", "audio": "ˈɔːdɪˌoʊ",
+    "hello": "həlˈoʊ", "yes": "jˈɛs", "please": "plˈiːz",
+    "thanks": "θˈæŋks", "thank": "θˈæŋk", "okay": "ˌoʊkˈeɪ",
+}
+
+# Ordered letter-to-sound rules: (pattern, ipa). Longest-match-first within
+# position. '^'/'$' anchor word boundaries. Plain, deterministic.
+_RULES = [
+    ("tion$", "ʃən"), ("sion$", "ʒən"), ("ought", "ɔːt"), ("aught", "ɔːt"),
+    ("igh", "aɪ"), ("tch", "tʃ"), ("dge", "dʒ"), ("eigh", "eɪ"),
+    ("ing$", "ɪŋ"), ("qu", "kw"), ("ph", "f"), ("sh", "ʃ"), ("ch", "tʃ"),
+    ("th", "θ"), ("wh", "w"), ("ck", "k"), ("ng", "ŋ"), ("wr", "ɹ"),
+    ("kn", "n"), ("gn$", "n"), ("mb$", "m"), ("oo", "uː"), ("ee", "iː"),
+    ("ea", "iː"), ("ai", "eɪ"), ("ay", "eɪ"), ("oa", "oʊ"), ("ow$", "oʊ"),
+    ("ou", "aʊ"), ("ow", "aʊ"), ("oi", "ɔɪ"), ("oy", "ɔɪ"), ("au", "ɔː"),
+    ("aw", "ɔː"), ("ew", "uː"), ("ar", "ɑːɹ"), ("er$", "ɚ"), ("er", "ɜː"),
+    ("ir", "ɜː"), ("ur", "ɜː"), ("or", "ɔːɹ"), ("ey$", "i"), ("y$", "i"),
+    ("ie$", "aɪ"), ("ce", "s"), ("ci", "s"), ("cy", "s"), ("ge$", "dʒ"),
+    ("gi", "dʒ"), ("gy", "dʒ"),
+    ("a", "æ"), ("b", "b"), ("c", "k"), ("d", "d"), ("e", "ɛ"), ("f", "f"),
+    ("g", "ɡ"), ("h", "h"), ("i", "ɪ"), ("j", "dʒ"), ("k", "k"), ("l", "l"),
+    ("m", "m"), ("n", "n"), ("o", "ɑː"), ("p", "p"), ("r", "ɹ"), ("s", "s"),
+    ("t", "t"), ("u", "ʌ"), ("v", "v"), ("w", "w"), ("x", "ks"),
+    ("y", "j"), ("z", "z"), ("'", ""),
+]
+
+_VOWEL_IPA = set("æɛɪɑʌʊɔeiouaəɚɜ")
+
+_ONES = ["zero", "one", "two", "three", "four", "five", "six", "seven",
+         "eight", "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+         "fifteen", "sixteen", "seventeen", "eighteen", "nineteen"]
+_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+         "eighty", "ninety"]
+
+
+def number_to_words(n: int) -> str:
+    if n < 0:
+        return "minus " + number_to_words(-n)
+    if n < 20:
+        return _ONES[n]
+    if n < 100:
+        t, r = divmod(n, 10)
+        return _TENS[t] + ("" if r == 0 else " " + _ONES[r])
+    if n < 1000:
+        h, r = divmod(n, 100)
+        return _ONES[h] + " hundred" + ("" if r == 0 else " " + number_to_words(r))
+    for div, name in [(10**9, "billion"), (10**6, "million"), (10**3, "thousand")]:
+        if n >= div:
+            q, r = divmod(n, div)
+            return number_to_words(q) + " " + name + (
+                "" if r == 0 else " " + number_to_words(r)
+            )
+    return _ONES[0]
+
+
+def expand_numbers(text: str) -> str:
+    return re.sub(r"\d+", lambda m: number_to_words(int(m.group())), text)
+
+
+class RuleG2P:
+    """Deterministic built-in English G2P with stress + punctuation."""
+
+    name = "rule"
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.lower()
+        if w in _LEXICON:
+            return _LEXICON[w]
+        out: List[str] = []
+        i = 0
+        final_e = w.endswith("e") and len(w) > 2
+        body = w[:-1] if final_e else w
+        while i < len(body):
+            for pat, ipa in _RULES:
+                anchored_end = pat.endswith("$")
+                p = pat.rstrip("$")
+                if body.startswith(p, i):
+                    if anchored_end and i + len(p) != len(body):
+                        continue
+                    out.append(ipa)
+                    i += len(p)
+                    break
+            else:
+                i += 1  # unknown char: skip
+        ipa = "".join(out)
+        if final_e:
+            # magic-e: lengthen the last short vowel
+            for short, long_ in [("æ", "eɪ"), ("ɛ", "iː"), ("ɪ", "aɪ"),
+                                 ("ɑː", "oʊ"), ("ʌ", "uː")]:
+                k = ipa.rfind(short)
+                if k != -1:
+                    ipa = ipa[:k] + long_ + ipa[k + len(short):]
+                    break
+        # primary stress before the first vowel
+        for k, ch in enumerate(ipa):
+            if ch in _VOWEL_IPA:
+                return ipa[:k] + "ˈ" + ipa[k:]
+        return ipa
+
+    def phonemize(self, text: str) -> str:
+        text = expand_numbers(text)
+        parts: List[str] = []
+        for chunk in _PUNCT_RE.split(text):
+            if not chunk or chunk.isspace():
+                continue
+            if _PUNCT_RE.fullmatch(chunk):
+                # preserve punctuation attached to the previous word
+                if parts:
+                    parts[-1] += chunk
+                else:
+                    parts.append(chunk)
+                continue
+            for word in chunk.split():
+                m = _WORD_RE.findall(word)
+                if m:
+                    parts.append("".join(self.word_to_ipa(x) for x in m))
+                elif word.strip():
+                    parts.append(word)
+        return " ".join(" ".join(parts).split())
+
+
+class EspeakG2P:
+    """Exact reference G2P: phonemizer -> espeak-ng (when installed).
+
+    Mirrors EspeakBackend("en-us", preserve_punctuation=True, with_stress=True)
+    and the single-space re-join (reference neutts/neutts.py:102-104, 297-301).
+    """
+
+    name = "espeak"
+
+    def __init__(self, language: str = "en-us"):
+        from phonemizer.backend import EspeakBackend  # lazy optional import
+
+        self._backend = EspeakBackend(
+            language=language, preserve_punctuation=True, with_stress=True
+        )
+
+    def phonemize(self, text: str) -> str:
+        phones = self._backend.phonemize([text])[0]
+        return " ".join(phones.split())
+
+
+def get_g2p(prefer: Optional[str] = None):
+    """espeak when available (reference parity), else the built-in rules."""
+    if prefer in (None, "espeak"):
+        try:
+            return EspeakG2P()
+        except Exception:
+            if prefer == "espeak":
+                raise
+    return RuleG2P()

@@ -1,0 +1,140 @@
+"""Host-side tokenization for the speech LM.
+
+The reference uses the HF Qwen2.5 tokenizer extended with 6 control tokens and
+65,536 `<|speech_N|>` tokens (reference TRAINING.md:38-58; prompt assembly at
+neutts/neutts.py:303-332). Tokenization is pure host-side work — it runs before
+device dispatch and never touches the TPU.
+
+Two backends behind one interface:
+
+* `HFTokenizer` — wraps a local `transformers` tokenizer directory (the real
+  checkpoint path); used for parity with the reference when weights are
+  available. Reads the true special/speech token ids from the tokenizer.
+* `ByteTokenizer` — self-contained byte-level fallback with the same special
+  -token layout (`config.TokenLayout`); deterministic, dependency-free, used
+  by tests and synthetic models.
+
+Both treat `<|speech_N|>` and the control tokens as atomic, mirroring HF
+`add_tokens` semantics (added tokens are split out before BPE).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Sequence
+
+from neutts_tpu.config import SPECIAL_TOKEN_NAMES, TokenLayout
+
+_SPEECH_RE = re.compile(r"<\|speech_(\d+)\|>")
+_SPECIAL_OR_SPEECH_RE = re.compile(
+    r"(<\|speech_\d+\|>|" + "|".join(re.escape(s) for s in SPECIAL_TOKEN_NAMES) + r")"
+)
+
+
+class ByteTokenizer:
+    """Byte-level text tokenizer + NeuTTS special/speech token layout.
+
+    Text bytes map to ids [0, 256); ids [256, n_text_tokens) are unused
+    padding of the text range so the layout math matches a larger tokenizer.
+    """
+
+    def __init__(self, layout: TokenLayout):
+        assert layout.n_text_tokens >= 257, "need room for 256 bytes + pad id"
+        self.layout = layout
+        self.pad_id = 256  # first unused text id
+
+    @property
+    def vocab_size(self) -> int:
+        return self.layout.vocab_size
+
+    def convert_token_to_id(self, token: str) -> int:
+        if token in SPECIAL_TOKEN_NAMES:
+            return self.layout.n_text_tokens + SPECIAL_TOKEN_NAMES.index(token)
+        m = _SPEECH_RE.fullmatch(token)
+        if m:
+            return self.layout.speech_token(int(m.group(1)))
+        raise KeyError(token)
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for part in _SPECIAL_OR_SPEECH_RE.split(text):
+            if not part:
+                continue
+            if _SPECIAL_OR_SPEECH_RE.fullmatch(part):
+                ids.append(self.convert_token_to_id(part))
+            else:
+                ids.extend(part.encode("utf-8"))
+        return ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        out: List[str] = []
+        byte_buf = bytearray()
+
+        def flush():
+            nonlocal byte_buf
+            if byte_buf:
+                out.append(byte_buf.decode("utf-8", errors="replace"))
+                byte_buf = bytearray()
+
+        lay = self.layout
+        for i in ids:
+            i = int(i)
+            if i < 256:
+                byte_buf.append(i)
+            elif lay.n_text_tokens <= i < lay.speech_base:
+                flush()
+                out.append(SPECIAL_TOKEN_NAMES[i - lay.n_text_tokens])
+            elif lay.speech_base <= i < lay.vocab_size:
+                flush()
+                out.append(f"<|speech_{i - lay.speech_base}|>")
+            # pad range: dropped
+        flush()
+        return "".join(out)
+
+
+class HFTokenizer:
+    """Adapter over a local `transformers` tokenizer with the NeuTTS vocab.
+
+    `path` must be a local directory (no network in this environment); the
+    special/speech ids are read from the tokenizer itself so the layout is
+    exact for real checkpoints.
+    """
+
+    def __init__(self, path: str):
+        from transformers import AutoTokenizer  # lazy: heavy import
+
+        self._tok = AutoTokenizer.from_pretrained(path)
+        base = self._tok.convert_tokens_to_ids("<|speech_0|>")
+        n_text = self._tok.convert_tokens_to_ids(SPECIAL_TOKEN_NAMES[0])
+        if base is None or n_text is None or base == self._tok.unk_token_id:
+            raise ValueError(f"tokenizer at {path} lacks NeuTTS speech tokens")
+        self.layout = TokenLayout(n_text_tokens=n_text)
+        # sanity: speech_base must follow the 6 specials contiguously
+        if base != self.layout.speech_base:
+            # Non-contiguous custom layout: still usable, but record the base.
+            object.__setattr__(self.layout, "_speech_base_override", base)
+        self.pad_id = self._tok.pad_token_id or 0
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self._tok)
+
+    def convert_token_to_id(self, token: str) -> int:
+        return self._tok.convert_tokens_to_ids(token)
+
+    def encode(self, text: str) -> List[int]:
+        return self._tok.encode(text, add_special_tokens=False)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self._tok.decode(list(ids))
+
+
+def extract_speech_codes(ids: Sequence[int], layout: TokenLayout) -> List[int]:
+    """Direct integer-token flow: filter generated ids down to codec codes.
+
+    Replaces the reference's detokenize-then-regex round trip
+    (re.findall(r"<\\|speech_(\\d+)\\|>", ...), reference neutts/neutts.py:276)
+    with id arithmetic — no string materialization on the hot path.
+    """
+    base, top = layout.speech_base, layout.vocab_size
+    return [int(i) - base for i in ids if base <= int(i) < top]

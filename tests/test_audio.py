@@ -1,0 +1,85 @@
+"""Audio I/O, overlap-add, and watermark tests."""
+
+import numpy as np
+import pytest
+
+from neutts_tpu.audio import io as audio_io
+from neutts_tpu.audio.overlap_add import StreamingOverlapAdd, linear_overlap_add
+from neutts_tpu.audio.watermark import SpreadSpectrumWatermarker
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 24_000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = tmp_path / "a.wav"
+    audio_io.write_wav(p, x, sr)
+    y, sr2 = audio_io.read_wav(p)
+    assert sr2 == sr
+    np.testing.assert_allclose(x, y, atol=1.0 / 32768 + 1e-6)
+
+
+def test_read_reference_samples():
+    """The shipped reference sample wavs load and match documented durations
+    (SURVEY.md §0: jo 13.06 s @22.05 kHz mono, dave 7.45 s @44.1 kHz stereo)."""
+    jo, sr = audio_io.read_wav("/root/reference/samples/jo.wav")
+    assert sr == 22_050 and jo.ndim == 1
+    assert abs(len(jo) / sr - 13.06) < 0.02
+    dave, sr = audio_io.read_wav("/root/reference/samples/dave.wav")
+    assert sr == 44_100 and dave.ndim == 2 and dave.shape[1] == 2
+    assert abs(dave.shape[0] / sr - 7.45) < 0.02
+
+
+def test_load_for_encoding_resamples():
+    x = audio_io.load_for_encoding("/root/reference/samples/dave.wav", 16_000)
+    assert x.ndim == 1
+    assert abs(len(x) / 16_000 - 7.45) < 0.02
+    # frame count matches the shipped pre-encoded codes (372 for dave)
+    assert len(x) // 320 == 372
+
+
+def test_resample_preserves_tone():
+    sr_in, sr_out = 22_050, 16_000
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = audio_io.resample(x, sr_in, sr_out)
+    assert abs(len(y) - sr_out) <= 2
+    spec = np.abs(np.fft.rfft(y[: sr_out]))
+    assert abs(np.argmax(spec) - 440) <= 2
+
+
+def test_overlap_add_matches_reference_semantics():
+    """Constant-input frames must re-join to a constant signal."""
+    stride = 100
+    frames = [np.ones(150, np.float32) for _ in range(5)]
+    out = linear_overlap_add(frames, stride)
+    assert out.shape[0] == 4 * stride + 150
+    np.testing.assert_allclose(out, 1.0, atol=1e-6)
+
+
+def test_streaming_overlap_add_matches_batch():
+    rng = np.random.default_rng(0)
+    stride = 100
+    frames = [rng.standard_normal(150).astype(np.float32) for _ in range(6)]
+    batch = linear_overlap_add(frames, stride)
+    ola = StreamingOverlapAdd(stride)
+    parts = [ola.push(f) for f in frames]
+    parts.append(ola.flush())
+    stream = np.concatenate(parts)
+    np.testing.assert_allclose(stream, batch, atol=1e-6)
+
+
+def test_watermark_roundtrip():
+    rng = np.random.default_rng(1)
+    # bounded signal (vocoder output is tanh-bounded, so |x| <= 1 in practice)
+    wav = np.tanh(0.3 * rng.standard_normal(48_000)).astype(np.float32)
+    wm = SpreadSpectrumWatermarker()
+    marked = wm.apply_watermark(wav, 24_000)
+    # inaudible: tiny distortion
+    assert np.max(np.abs(marked - wav)) < 0.02
+    # detectable on marked, absent on clean
+    assert wm.get_watermark(marked, 24_000) > 0.5
+    assert wm.get_watermark(wav, 24_000) < 0.2
+    # wrong key does not detect
+    other = SpreadSpectrumWatermarker(key=123)
+    assert other.get_watermark(marked, 24_000) < 0.2

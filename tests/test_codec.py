@@ -41,12 +41,13 @@ def test_fsq_quantize_dequantize_stable():
 
 
 def test_encode_shapes(params):
-    """ceil(T/320) codes — 653 codes for 13.06 s jo.wav (SURVEY.md §0)."""
-    for t in [320, 321, 16000, 208_960]:
+    """floor(T/320) codes — 372 codes for dave's 119,157 16-kHz samples
+    (matches the shipped dave.pt; SURVEY.md §0)."""
+    for t in [320, 321, 639, 16000, 208_960]:
         wav = jnp.zeros((1, t), jnp.float32)
         codes = cd.encode(CFG, params, wav)
-        assert codes.shape == (1, -(-t // 320)), (t, codes.shape)
-    assert cd.encode(CFG, params, jnp.zeros((1, 208_960))).shape == (1, 653)
+        assert codes.shape == (1, t // 320), (t, codes.shape)
+    assert cd.encode(CFG, params, jnp.zeros((1, 119_157))).shape == (1, 372)
 
 
 def test_decode_shapes(params):

@@ -1,0 +1,105 @@
+"""Text front-end: tokenizer layout, G2P determinism, prompt template parity."""
+
+import numpy as np
+import pytest
+
+from neutts_tpu import config
+from neutts_tpu.text import g2p as g2p_lib
+from neutts_tpu.text import prompt as prompt_lib
+from neutts_tpu.text.tokenizer import ByteTokenizer, extract_speech_codes
+
+LAYOUT = config.TEST_LAYOUT
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return ByteTokenizer(LAYOUT)
+
+
+def test_special_token_ids(tok):
+    """Layout follows the reference vocab recipe: 6 specials then the speech
+    tokens, appended after the text vocab (reference TRAINING.md:38-56)."""
+    assert tok.convert_token_to_id("<|TEXT_REPLACE|>") == LAYOUT.n_text_tokens
+    assert tok.convert_token_to_id("<|SPEECH_GENERATION_END|>") == LAYOUT.n_text_tokens + 5
+    assert tok.convert_token_to_id("<|speech_0|>") == LAYOUT.speech_base
+    assert tok.convert_token_to_id("<|speech_5|>") == LAYOUT.speech_base + 5
+
+
+def test_encode_decode_roundtrip(tok):
+    s = "hello <|speech_3|> world<|SPEECH_GENERATION_START|>!"
+    ids = tok.encode(s)
+    assert tok.decode(ids) == s
+
+
+def test_speech_tokens_atomic(tok):
+    ids = tok.encode("<|speech_7|><|speech_8|>")
+    assert ids == [LAYOUT.speech_token(7), LAYOUT.speech_token(8)]
+
+
+def test_extract_speech_codes(tok):
+    """Integer-token flow replaces the reference's regex extraction
+    (neutts/neutts.py:276): non-speech ids are dropped, order preserved."""
+    ids = [65, 66, LAYOUT.speech_token(5), 67, LAYOUT.speech_token(9), LAYOUT.speech_gen_end]
+    assert extract_speech_codes(ids, LAYOUT) == [5, 9]
+
+
+def test_g2p_deterministic():
+    g = g2p_lib.RuleG2P()
+    a = g.phonemize("Hello world, this is a test.")
+    b = g.phonemize("Hello world, this is a test.")
+    assert a == b
+    assert a  # non-empty
+    # single-space join (reference neutts/neutts.py:299-301)
+    assert "  " not in a
+
+
+def test_g2p_preserves_punctuation():
+    g = g2p_lib.RuleG2P()
+    out = g.phonemize("Stop! Really?")
+    assert "!" in out and "?" in out
+
+
+def test_g2p_stress_marks():
+    g = g2p_lib.RuleG2P()
+    assert "ˈ" in g.phonemize("hello")
+
+
+def test_number_expansion():
+    assert g2p_lib.number_to_words(42) == "forty two"
+    assert g2p_lib.number_to_words(1234) == "one thousand two hundred thirty four"
+    g = g2p_lib.RuleG2P()
+    assert g.phonemize("I have 2 cats") == g.phonemize("I have two cats")
+
+
+def test_prompt_layout(tok):
+    """Exact token layout of the cloning prompt (reference neutts/neutts.py:303-332):
+    [chat-prefix ids][TEXT_PROMPT_START][phoneme ids][TEXT_PROMPT_END]
+    [\\nassistant: ids][SPEECH_GENERATION_START][ref speech-token ids] — ends
+    with the ref codes, nothing after."""
+    g = g2p_lib.RuleG2P()
+    ref_codes = [3, 1, 4]
+    ids = prompt_lib.build_prompt_ids(tok, g, ref_codes, "hi there", "bye now")
+
+    # ends with SPEECH_GENERATION_START + ref code tokens
+    assert ids[-4] == LAYOUT.speech_gen_start
+    assert ids[-3:] == [LAYOUT.speech_token(c) for c in ref_codes]
+    # contains the spliced text window
+    ts = ids.index(LAYOUT.text_prompt_start)
+    te = ids.index(LAYOUT.text_prompt_end)
+    phones = g.phonemize("hi there") + " " + g.phonemize("bye now")
+    assert ids[ts + 1 : te] == tok.encode(phones)
+    # chat prefix before TEXT_PROMPT_START is the template head
+    head = tok.encode("user: Convert the text to speech:")
+    assert ids[:ts] == head
+    # "\nassistant:" sits between TEXT_PROMPT_END and SPEECH_GENERATION_START
+    mid = tok.encode("\nassistant:")
+    assert ids[te + 1 : te + 1 + len(mid)] == mid
+    # no TEXT_REPLACE / SPEECH_REPLACE leak into the final prompt
+    assert LAYOUT.text_replace not in ids and LAYOUT.speech_replace not in ids
+
+
+def test_training_layout(tok):
+    g = g2p_lib.RuleG2P()
+    ids = prompt_lib.build_training_ids(tok, g, [7, 8], "some words")
+    assert ids[-1] == LAYOUT.speech_gen_end
+    assert ids[-3:-1] == [LAYOUT.speech_token(7), LAYOUT.speech_token(8)]
