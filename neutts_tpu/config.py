@@ -180,6 +180,7 @@ TINY = _lm(
     head_dim=16,
     intermediate_size=128,
     max_context=512,
+    dtype="float32",  # f32 activations keep the unit-test oracles tight
 )
 
 
@@ -268,6 +269,7 @@ class SamplingConfig:
     min_new_tokens: int = 50
     max_context: int = 2048
     greedy: bool = False
+    exact_topk: bool = False  # exact lax.top_k (slow on TPU; parity only)
 
 
 BY_NAME = {

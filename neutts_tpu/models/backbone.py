@@ -117,7 +117,14 @@ def _logits(cfg: BackboneConfig, params: Params, x: jax.Array) -> jax.Array:
 
 
 class KVCache(NamedTuple):
-    """Preallocated per-layer KV cache: k/v are [L, B, T_max, n_kv, head_dim]."""
+    """Preallocated per-layer KV cache: k/v are [L, B, T_max, n_kv * head_dim].
+
+    Layout note: the KV heads are fused into the minor dim so it is exactly
+    128 lanes for Air/Nano (2 heads x 64) — the Pallas flash-decode kernel
+    DMAs [block_t, 128] tiles straight from this layout (Mosaic requires
+    HBM-slice minor dims aligned to the 128-lane tiling), and a single DMA
+    covers every head.
+    """
 
     k: jax.Array
     v: jax.Array
@@ -126,7 +133,7 @@ class KVCache(NamedTuple):
     def create(cfg: BackboneConfig, batch: int, max_len: Optional[int] = None, dtype=None):
         dtype = dtype or jnp.dtype(cfg.dtype)
         T = max_len or cfg.max_context
-        shape = (cfg.n_layers, batch, T, cfg.n_kv_heads, cfg.head_dim)
+        shape = (cfg.n_layers, batch, T, cfg.n_kv_heads * cfg.head_dim)
         return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
@@ -155,65 +162,71 @@ def _attend(
     return out.reshape(B, S, H, Dh)
 
 
-def _block(cfg: BackboneConfig, lp: Params, x, cache_k, cache_v, cos, sin, mask, write_at):
-    """One transformer block over S new positions, updating the layer KV cache.
+def _attend_block(
+    q: jax.Array,  # [B, S, n_heads, Dh] — queries over the new block
+    k: jax.Array,  # [B, S, n_kv, Dh]
+    v: jax.Array,  # [B, S, n_kv, Dh]
+    mask: jax.Array,  # [B, S, S] bool (True = attend), causal within block
+) -> jax.Array:
+    """Self-attention within a block (prefill / training). [B, S, n_heads, Dh]."""
+    B, S, H, Dh = q.shape
+    K = k.shape[2]
+    G = H // K
+    qg = q.reshape(B, S, K, G, Dh)
+    scores = jnp.einsum("bskgd,btkd->bkgst", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * (Dh**-0.5)
+    # Finite mask value: fully-masked rows (left-pad positions) must produce
+    # finite (garbage) outputs, not NaN — NaN would poison downstream layers
+    # through 0 * NaN in the probability-weighted sum.
+    scores = jnp.where(mask[:, None, None, :, :], scores, jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgst,btkd->bskgd", probs, v)
+    return out.reshape(B, S, H, Dh)
 
-    x: [B, S, D]; cache_k/v: [B, T, n_kv, Dh]; cos/sin: [B, S, half];
-    mask: [B, S, T]; write_at: scalar int32 — index where the S new KV rows go.
-    Returns (x_out, cache_k, cache_v).
-    """
-    B, S, D = x.shape
-    h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-    q = jnp.dot(h, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype) + lp["bq"]
-    k = jnp.dot(h, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype) + lp["bk"]
-    v = jnp.dot(h, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype) + lp["bv"]
-    q = q.reshape(B, S, cfg.n_heads, cfg.head_dim)
-    k = k.reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
+
+def use_pallas_attention() -> bool:
+    """Pallas flash-decode on TPU backends; XLA fallback elsewhere (CPU tests,
+    virtual meshes). Decided at trace time."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _qkv(cfg: BackboneConfig, lp: Params, h: jax.Array, cos, sin):
+    """h: [B, S, D] -> q [B,S,H,Dh], k/v [B,S,K,Dh] with RoPE applied."""
+    B, S, _ = h.shape
+    q = jnp.dot(h, lp["wq"], preferred_element_type=jnp.float32).astype(h.dtype) + lp["bq"]
+    k = jnp.dot(h, lp["wk"], preferred_element_type=jnp.float32).astype(h.dtype) + lp["bk"]
+    v = jnp.dot(h, lp["wv"], preferred_element_type=jnp.float32).astype(h.dtype) + lp["bv"]
+    q = apply_rope(q.reshape(B, S, cfg.n_heads, cfg.head_dim), cos, sin)
+    k = apply_rope(k.reshape(B, S, cfg.n_kv_heads, cfg.head_dim), cos, sin)
     v = v.reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    return q, k, v
 
-    cache_k = lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, write_at, 0, 0))
-    cache_v = lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, write_at, 0, 0))
 
-    attn = _attend(q, cache_k, cache_v, mask)
-    attn = attn.reshape(B, S, cfg.q_dim)
-    x = x + jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
-
+def _mlp(cfg: BackboneConfig, lp: Params, x: jax.Array) -> jax.Array:
     h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
     gate = jnp.dot(h, lp["w_gate"], preferred_element_type=jnp.float32)
     up = jnp.dot(h, lp["w_up"], preferred_element_type=jnp.float32)
     ff = (jax.nn.silu(gate) * up).astype(x.dtype)
-    x = x + jnp.dot(ff, lp["w_down"], preferred_element_type=jnp.float32).astype(x.dtype)
-    return x, cache_k, cache_v
+    return x + jnp.dot(ff, lp["w_down"], preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def forward(
-    cfg: BackboneConfig,
-    params: Params,
-    tokens: jax.Array,  # [B, S] int32 — new tokens to process
-    cache: KVCache,
-    positions: jax.Array,  # [B, S] int32 — RoPE position ids for these tokens
-    mask: jax.Array,  # [B, S, T_max] bool — which cache slots each token sees
-    write_at,  # scalar int32 — cache index of tokens[:, 0]
-) -> Tuple[jax.Array, KVCache]:
-    """Run the stack over S new tokens. Returns (hidden [B, S, D], new cache).
+def _block_fresh(cfg: BackboneConfig, lp: Params, x, cos, sin, mask):
+    """Transformer block over a fresh window (no cache read): prefill/training.
 
-    Used for both prefill (S = padded prompt length, write_at = 0) and decode
-    (S = 1, write_at = current length). The same code path keeps prefill and
-    decode numerics identical — the consistency tests rely on this.
+    mask: [B, S, S] (causal + padding). Returns (x_out, k, v) — k/v for the
+    caller to write into the cache.
     """
-    x = params["embed"].astype(jnp.dtype(cfg.dtype))[tokens]
-    cos, sin = rope_tables(cfg.head_dim, cfg.rope_theta, positions)
+    h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+    q, k, v = _qkv(cfg, lp, h, cos, sin)
+    attn = _attend_block(q, k, v, mask).reshape(x.shape[0], x.shape[1], cfg.q_dim)
+    x = x + jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+    return _mlp(cfg, lp, x), k, v
 
-    def body(x, layer):
-        lp, ck, cv = layer
-        x, ck, cv = _block(cfg, lp, x, ck, cv, cos, sin, mask, write_at)
-        return x, (ck, cv)
 
-    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return x, KVCache(k=new_k, v=new_v)
+
 
 
 def prefill(
@@ -226,21 +239,41 @@ def prefill(
     """Process left-padded prompts; returns (last-position logits [B, V], cache).
 
     Left padding means every sequence's last real token sits at index Lp-1, so
-    decode writes land at a single shared cache index — no per-sequence scatter.
+    decode writes land at a single shared cache index — no per-sequence
+    scatter. The cache is a scan CARRY updated in place with
+    `dynamic_update_slice` (XLA aliases carries; no full-cache copies).
     """
     B, Lp = tokens.shape
-    T = cache.max_len
-    pad = Lp - prompt_lens  # [B]
+    pad = (Lp - prompt_lens).astype(jnp.int32)  # [B]
     idx = jnp.arange(Lp, dtype=jnp.int32)
     positions = jnp.maximum(idx[None, :] - pad[:, None], 0)  # [B, Lp]
-    # token at row-index i may attend cache slot t iff t <= i and t >= pad[b]
-    t_idx = jnp.arange(T, dtype=jnp.int32)
-    mask = (t_idx[None, None, :] <= idx[None, :, None]) & (
-        t_idx[None, None, :] >= pad[:, None, None]
+    cos, sin = rope_tables(cfg.head_dim, cfg.rope_theta, positions)
+    # within-block causal + left-pad mask: [B, Lp, Lp]
+    mask = (idx[None, None, :] <= idx[None, :, None]) & (
+        idx[None, None, :] >= pad[:, None, None]
     )
-    x, cache = forward(cfg, params, tokens, cache, positions, mask, jnp.int32(0))
+    x = params["embed"].astype(jnp.dtype(cfg.dtype))[tokens]
+
+    def body(carry, lp_l):
+        x, all_k, all_v = carry
+        lp, l = lp_l
+        x, k, v = _block_fresh(cfg, lp, x, cos, sin, mask)
+        B_, S_ = k.shape[0], k.shape[1]
+        all_k = lax.dynamic_update_slice(
+            all_k, k.astype(all_k.dtype).reshape(B_, S_, -1)[None], (l, 0, 0, 0)
+        )
+        all_v = lax.dynamic_update_slice(
+            all_v, v.astype(all_v.dtype).reshape(B_, S_, -1)[None], (l, 0, 0, 0)
+        )
+        return (x, all_k, all_v), None
+
+    layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    (x, new_k, new_v), _ = lax.scan(
+        body, (x, cache.k, cache.v), (params["layers"], layer_ids)
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _logits(cfg, params, x[:, -1, :])
-    return logits, cache
+    return logits, KVCache(k=new_k, v=new_v)
 
 
 def decode_step(
@@ -252,11 +285,76 @@ def decode_step(
     pad: jax.Array,  # [B] int32 — left-pad amounts from prefill
 ) -> Tuple[jax.Array, KVCache]:
     """One AR decode step: returns (logits [B, V], new cache)."""
+    from neutts_tpu.ops import attention as attn_ops
+
     B = token.shape[0]
-    T = cache.max_len
+    K, G = cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads
     positions = (cur_index - pad)[:, None]  # [B, 1]
-    t_idx = jnp.arange(T, dtype=jnp.int32)
-    mask = (t_idx[None, None, :] <= cur_index) & (t_idx[None, None, :] >= pad[:, None, None])
-    x, cache = forward(cfg, params, token[:, None], cache, positions, mask, cur_index)
+    cos, sin = rope_tables(cfg.head_dim, cfg.rope_theta, positions)
+    lens = jnp.full((B,), cur_index + 1, jnp.int32)  # write-then-attend
+    x = params["embed"].astype(jnp.dtype(cfg.dtype))[token[:, None]]
+    pallas = use_pallas_attention()
+
+    def body(carry, lp_l):
+        x, all_k, all_v = carry
+        lp, l = lp_l
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, h, cos, sin)
+        # write the current token's K/V first (in-place on the scan carry),
+        # then attend over [pad, cur_index] — no separate self term
+        upd_k = k[:, 0].astype(all_k.dtype).reshape(B, -1)[None, :, None, :]
+        upd_v = v[:, 0].astype(all_v.dtype).reshape(B, -1)[None, :, None, :]
+        all_k = lax.dynamic_update_slice(all_k, upd_k, (l, 0, cur_index, 0))
+        all_v = lax.dynamic_update_slice(all_v, upd_v, (l, 0, cur_index, 0))
+        qg = q[:, 0].reshape(B, K, G, cfg.head_dim)
+        if pallas:
+            attn = attn_ops.decode_attention_stacked(
+                qg, all_k, all_v, l, lens, pad
+            )
+        else:
+            ck = lax.dynamic_index_in_dim(all_k, l, 0, keepdims=False)
+            cv = lax.dynamic_index_in_dim(all_v, l, 0, keepdims=False)
+            attn = attn_ops.decode_attention_xla(qg, ck, cv, lens, pad)
+        attn = attn.astype(x.dtype).reshape(B, 1, cfg.q_dim)
+        x = x + jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+        x = _mlp(cfg, lp, x)
+        return (x, all_k, all_v), None
+
+    layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    (x, new_k, new_v), _ = lax.scan(
+        body, (x, cache.k, cache.v), (params["layers"], layer_ids)
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _logits(cfg, params, x[:, 0, :])
-    return logits, cache
+    return logits, KVCache(k=new_k, v=new_v)
+
+
+def forward_train(
+    cfg: BackboneConfig,
+    params: Params,
+    tokens: jax.Array,  # [B, S] int32, RIGHT-padded (training layout)
+    attn_mask: jax.Array,  # [B, S] bool — True on real tokens
+) -> jax.Array:
+    """Full-sequence causal forward for training: logits [B, S, V].
+
+    No KV cache: the whole sequence is processed in one pass (the finetune
+    path, reference examples/finetune.py:139-165 — HF Trainer fwd/bwd).
+    Right padding here (vs LEFT for inference) matches the reference's
+    training preprocessing (examples/finetune.py:78-93).
+    """
+    B, S = tokens.shape
+    x = params["embed"].astype(jnp.dtype(cfg.dtype))[tokens]
+    positions = jnp.cumsum(attn_mask.astype(jnp.int32), axis=-1) - 1
+    positions = jnp.maximum(positions, 0)
+    cos, sin = rope_tables(cfg.head_dim, cfg.rope_theta, positions)
+    idx = jnp.arange(S, dtype=jnp.int32)
+    causal = idx[None, :, None] >= idx[None, None, :]  # [1, S, S]
+    mask = causal & attn_mask[:, None, :]
+
+    def body(x, lp):
+        x, _, _ = _block_fresh(cfg, lp, x, cos, sin, mask)
+        return x, None
+
+    x, _ = lax.scan(body, x, params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return _logits(cfg, params, x)

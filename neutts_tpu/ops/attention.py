@@ -1,0 +1,270 @@
+"""Pallas TPU kernel: fused KV-cache decode attention (flash-decode).
+
+This replaces the XLA path for the decode hot loop's attention:
+  * online softmax — no [B, H, T] score materialization in HBM (saves ~GBs of
+    traffic per decode step at large batch);
+  * manual double-buffered DMA over the cache with a **dynamic** trip count:
+    only the live prefix [0, cur_len) of the 2048-slot cache is ever read,
+    while the XLA path scans all of it;
+  * grid over (batch,), all GQA KV heads processed per program.
+
+Numerics: f32 score/softmax accumulation, bf16 cache reads, output in cache
+dtype. Matches the XLA reference (`decode_attention_xla`) to dtype tolerance;
+tests/test_attention.py pins that.
+
+Cache layout per layer is [B, T, K*D] — the KV heads are fused into the minor
+dim so it is exactly 128 lanes for Air/Nano (K=2, D=64): Mosaic requires HBM
+slice minor dims aligned to the 128-lane tiling, and the fused layout also
+means one DMA per block covers every head. The cache must already contain the
+current token's K/V at slot `cur_index` (write-then-attend).
+
+Capability parity: this kernel is the TPU replacement for llama.cpp's
+flash-attn / KV-cache decode path (reference neutts/neutts.py:139-158).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_T = 512  # cache-time tile per DMA; 2048 / 512 = 4 max trips
+
+
+def _kernel(
+    # scalar prefetch
+    lens_ref,  # SMEM [B] int32 — valid length per row (attend t < lens[b])
+    pad_ref,  # SMEM [B] int32 — left-pad per row (attend t >= pad[b])
+    layer_ref,  # SMEM [1] int32 — which layer of the stacked cache to read
+    # inputs
+    q_ref,  # VMEM [RB, KG, D] — this tile's queries (K*G heads flattened)
+    k_hbm,  # ANY  [L, B, T, K*D] — FULL stacked cache (no XLA slice copy)
+    v_hbm,  # ANY  [L, B, T, K*D]
+    # outputs
+    o_ref,  # VMEM [RB, KG, D]
+    # scratch
+    k_buf,  # VMEM [2, RB, BLOCK_T, K*D]
+    v_buf,  # VMEM [2, RB, BLOCK_T, K*D]
+    acc_ref,  # VMEM [RB, KG, D] f32
+    m_ref,  # VMEM [RB, KG, 128] f32 (running max, lane 0 used)
+    l_ref,  # VMEM [RB, KG, 128] f32 (running denom, lane 0 used)
+    sem,  # DMA semaphores [2, 2*RB] (k sems first, then v sems)
+    *,
+    n_kv: int,
+    group: int,
+    head_dim: int,
+    block_t: int,
+    row_block: int,
+):
+    tile = pl.program_id(0)
+    layer = layer_ref[0]
+    b0 = tile * row_block
+
+    # Shared trip count for the row tile (rows in a decode batch share
+    # cur_index, so lens are equal; the max covers ragged callers too).
+    n_max = lens_ref[b0]
+    for r in range(1, row_block):
+        n_max = jnp.maximum(n_max, lens_ref[b0 + r])
+    n_blocks = lax.div(n_max + block_t - 1, block_t)
+
+    def dma(slot, blk, which, r):
+        hbm, buf = (k_hbm, k_buf) if which == 0 else (v_hbm, v_buf)
+        return pltpu.make_async_copy(
+            hbm.at[layer, b0 + r, pl.ds(blk * block_t, block_t), :],
+            buf.at[slot, r],
+            sem.at[slot, which * row_block + r],
+        )
+
+    def start_dma(slot, blk):
+        for r in range(row_block):
+            dma(slot, blk, 0, r).start()
+            dma(slot, blk, 1, r).start()
+
+    def wait_dma(slot, blk):
+        for r in range(row_block):
+            dma(slot, blk, 0, r).wait()
+            dma(slot, blk, 1, r).wait()
+
+    start_dma(0, 0)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, -1e30)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    scale = head_dim**-0.5
+
+    def body(blk, _):
+        slot = lax.rem(blk, 2)
+
+        @pl.when(blk + 1 < n_blocks)
+        def _():
+            start_dma(1 - slot, blk + 1)
+
+        wait_dma(slot, blk)
+
+        t1d = blk * block_t + jax.lax.broadcasted_iota(
+            jnp.int32, (n_kv * group, block_t), 1
+        )
+        # per-row compute with plain 2D dots (Mosaic-friendly); rb is small
+        for r in range(row_block):
+            q = q_ref[r].astype(jnp.float32)  # [KG, D]
+            k = k_buf[slot, r].astype(jnp.float32)  # [BT, K*D]
+            v = v_buf[slot, r]  # [BT, K*D]
+
+            s_heads = []
+            for h in range(n_kv):
+                qh = q[h * group : (h + 1) * group, :]  # [G, D]
+                kh = k[:, h * head_dim : (h + 1) * head_dim]  # [BT, D]
+                s_heads.append(
+                    jax.lax.dot_general(
+                        qh,
+                        kh,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # [G, BT]
+            sc = jnp.concatenate(s_heads, axis=0) * scale  # [KG, BT]
+            valid = (t1d < lens_ref[b0 + r]) & (t1d >= pad_ref[b0 + r])
+            sc = jnp.where(valid, sc, -1e30)
+
+            m_blk = jnp.max(sc, axis=1, keepdims=True)  # [KG, 1]
+            m_old = m_ref[r, :, :1]
+            m_new = jnp.maximum(m_old, m_blk)
+            alpha = jnp.exp(m_old - m_new)  # [KG, 1]
+            p = jnp.exp(sc - m_new)  # [KG, BT]
+            l_ref[r, :, :1] = l_ref[r, :, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[r, :, :1] = m_new
+
+            pv_heads = []
+            for h in range(n_kv):
+                ph = p[h * group : (h + 1) * group, :]  # [G, BT]
+                vh = v[:, h * head_dim : (h + 1) * head_dim]  # [BT, D]
+                pv_heads.append(
+                    jax.lax.dot_general(
+                        ph.astype(vh.dtype),
+                        vh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # [G, D]
+            pv = jnp.concatenate(pv_heads, axis=0)  # [KG, D]
+            acc_ref[r] = acc_ref[r] * alpha + pv
+        return 0
+
+    lax.fori_loop(0, n_blocks, body, 0)
+    for r in range(row_block):
+        o_ref[r] = (
+            acc_ref[r] / jnp.maximum(l_ref[r, :, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "row_block", "interpret"))
+def decode_attention_stacked(
+    q: jax.Array,  # [B, K, G, D]
+    all_k: jax.Array,  # [L, B, T, K*D] — full stacked cache in HBM
+    all_v: jax.Array,  # [L, B, T, K*D]
+    layer: jax.Array,  # scalar int32
+    lens: jax.Array,  # [B] int32 — attend slots [pad, lens)
+    pad: jax.Array,  # [B] int32
+    *,
+    block_t: int = BLOCK_T,
+    row_block: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused flash-decode attention on one layer of the stacked cache.
+
+    Taking the stacked cache + layer scalar (instead of a pre-sliced layer)
+    keeps the cache in HBM untouched — a sliced operand would make XLA
+    materialize a [B, T, K*D] copy per layer per step. Each grid program
+    handles `row_block` batch rows: Pallas grid programs run sequentially on
+    the TensorCore, so per-program latency must be amortized over rows
+    (grid=(B,) was ~3x slower at B=256).
+    """
+    B, K, G, D = q.shape
+    T = all_k.shape[2]
+    assert all_k.shape[3] == K * D, (all_k.shape, K, D)
+    block_t = min(block_t, T)
+    assert T % block_t == 0, (T, block_t)
+    rb = row_block
+    while B % rb:
+        rb //= 2
+    rb = max(rb, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B // rb,),
+        in_specs=[
+            pl.BlockSpec(
+                (rb, K * G, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, K * G, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rb, block_t, K * D), all_k.dtype),
+            pltpu.VMEM((2, rb, block_t, K * D), all_v.dtype),
+            pltpu.VMEM((rb, K * G, D), jnp.float32),
+            pltpu.VMEM((rb, K * G, 128), jnp.float32),
+            pltpu.VMEM((rb, K * G, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2 * rb)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, n_kv=K, group=G, head_dim=D, block_t=block_t, row_block=rb
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, K * G, D), all_k.dtype),
+        interpret=interpret,
+    )(
+        lens,
+        pad,
+        jnp.reshape(layer, (1,)).astype(jnp.int32),
+        q.reshape(B, K * G, D),
+        all_k,
+        all_v,
+    )
+    return out.reshape(B, K, G, D)
+
+
+def decode_attention(q, ck, cv, lens, pad, *, block_t=BLOCK_T, interpret=False):
+    """Single-layer convenience wrapper (tests): ck/cv [B, T, K*D]."""
+    return decode_attention_stacked(
+        q,
+        ck[None],
+        cv[None],
+        jnp.int32(0),
+        lens,
+        pad,
+        block_t=block_t,
+        interpret=interpret,
+    )
+
+
+def decode_attention_xla(
+    q: jax.Array,  # [B, K, G, D]
+    ck: jax.Array,  # [B, T, K*D]
+    cv: jax.Array,
+    lens: jax.Array,  # [B]
+    pad: jax.Array,  # [B]
+) -> jax.Array:
+    """Reference XLA implementation (correctness oracle + CPU fallback)."""
+    B, K, G, D = q.shape
+    T = ck.shape[1]
+    ckh = ck.reshape(B, T, K, D)
+    cvh = cv.reshape(B, T, K, D)
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    mask = (t_idx[None, :] < lens[:, None]) & (t_idx[None, :] >= pad[:, None])
+    s = jnp.einsum("bkgd,btkd->bkgt", q.astype(jnp.float32), ckh.astype(jnp.float32))
+    s = s * (D**-0.5)
+    s = jnp.where(mask[:, None, None, :], s, jnp.float32(-1e30))
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bkgt,btkd->bkgd", p.astype(cvh.dtype), cvh)
+    return out.astype(ck.dtype)

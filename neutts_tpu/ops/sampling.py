@@ -26,11 +26,22 @@ def sample_tokens(
     temperature: float = 1.0,
     top_k: int = 50,
     greedy: bool = False,
+    exact_topk: bool = False,
 ) -> jax.Array:
-    """Sample one token per row. Greedy mode is exact argmax (parity gates)."""
+    """Sample one token per row. Greedy mode is exact argmax (parity gates).
+
+    The top-k uses `lax.approx_max_k` by default: on a 217k-entry vocab the
+    exact sort-based `lax.top_k` costs ~5 ms/step on a v5e — more than the
+    entire 360M-param forward — while the TPU-native approximate variant is
+    ~free at recall 0.95 (indistinguishable for top-50 sampling from a peaked
+    softmax). Pass exact_topk=True for strict HF-parity experiments.
+    """
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    vals, idx = lax.top_k(logits, top_k)  # [B, k]
+    if exact_topk:
+        vals, idx = lax.top_k(logits, top_k)  # [B, k]
+    else:
+        vals, idx = lax.approx_max_k(logits, top_k)
     vals = vals / jnp.maximum(temperature, 1e-6)
     g = jax.random.gumbel(key, vals.shape, vals.dtype)
     choice = jnp.argmax(vals + g, axis=-1)  # [B]

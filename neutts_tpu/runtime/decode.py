@@ -73,6 +73,7 @@ def _generate_impl(
             temperature=sampling.temperature,
             top_k=sampling.top_k,
             greedy=sampling.greedy,
+            exact_topk=sampling.exact_topk,
         )
 
     k0, key = jax.random.split(key)
@@ -253,7 +254,7 @@ def decode_segment(
         kstep, key = jax.random.split(s.key)
         nxt = smp.sample_tokens(
             logits, kstep, temperature=sampling.temperature, top_k=sampling.top_k,
-            greedy=sampling.greedy,
+            greedy=sampling.greedy, exact_topk=sampling.exact_topk,
         )
         nxt = jnp.where(s.done | ~in_ctx, eos_id, nxt)
         out = lax.dynamic_update_slice(out, nxt[:, None], (0, i))

@@ -77,20 +77,14 @@ def test_causality(params):
     a = full_logits(params, base[:4])
     b = full_logits(params, base[:4])  # deterministic repeat
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # last-position logits of the 4-prefix computed inside a longer prefill
-    cache = bb.KVCache.create(CFG, 1, max_len=CFG.max_context, dtype=jnp.float32)
+    # position-3 logits computed inside a longer full-sequence forward must
+    # match the logits of prefilling only the 4-token prefix
     toks = jnp.asarray([base], jnp.int32)
-    lens = jnp.asarray([6], jnp.int32)
-    pad = jnp.zeros((1,), jnp.int32)
-    idx = jnp.arange(6, dtype=jnp.int32)
-    T = CFG.max_context
-    t_idx = jnp.arange(T, dtype=jnp.int32)
-    mask = (t_idx[None, None, :] <= idx[None, :, None]) & (t_idx[None, None, :] >= 0)
-    x, _ = bb.forward(CFG, params, toks, cache, idx[None, :], mask, jnp.int32(0))
-    from neutts_tpu.models.backbone import _logits
-
-    per_pos = _logits(CFG, params, x[0, 3, :])
-    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(per_pos), rtol=2e-4, atol=2e-4)
+    attn = jnp.ones((1, 6), bool)
+    all_logits = bb.forward_train(CFG, params, toks, attn)
+    np.testing.assert_allclose(
+        np.asarray(a[0]), np.asarray(all_logits[0, 3, :]), rtol=2e-4, atol=2e-4
+    )
 
 
 def test_batched_greedy_matches_single(params):

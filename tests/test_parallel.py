@@ -1,0 +1,125 @@
+"""Sharding/mesh tests on the 8-device virtual CPU mesh (SURVEY.md §4: the
+multi-chip behavior the reference never had, validated without TPU pods)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from neutts_tpu import config
+from neutts_tpu.models import backbone as bb
+from neutts_tpu.parallel import mesh as meshlib
+from neutts_tpu.runtime import decode as dec
+from neutts_tpu.train import trainer
+
+CFG = config.TINY
+EOS = CFG.layout.speech_gen_end
+
+
+def test_mesh_shapes():
+    m = meshlib.make_mesh(dp=4, tp=2)
+    assert m.shape == {"data": 4, "model": 2}
+    m2 = meshlib.make_mesh()  # defaults: all devices on data
+    assert m2.shape["data"] == 8 and m2.shape["model"] == 1
+    with pytest.raises(ValueError):
+        meshlib.make_mesh(dp=3, tp=2)
+
+
+def test_dp_decode_matches_single_device():
+    """Greedy decode sharded over 8 data-parallel devices must equal the
+    unsharded result token-for-token."""
+    params = bb.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=2)
+    prompts = [[3 + i, 7, 1 + i, 8] for i in range(8)]
+    toks, lens = dec.pad_prompts(prompts, pad_id=0, bucket=16)
+
+    ref = dec.generate(CFG, scfg, EOS, 12, params, toks, lens, jax.random.PRNGKey(1))
+    ref_tokens = [dec.extract(ref, i, EOS) for i in range(8)]
+
+    mesh = meshlib.make_mesh(dp=8, tp=1)
+    params_sh = meshlib.shard_params(params, mesh, CFG)
+    data = meshlib.batch_sharding(mesh)
+    toks_sh = jax.device_put(toks, data)
+    lens_sh = jax.device_put(lens, data)
+    out = dec.generate(CFG, scfg, EOS, 12, params_sh, toks_sh, lens_sh, jax.random.PRNGKey(1))
+    got = [dec.extract(out, i, EOS) for i in range(8)]
+    assert got == ref_tokens
+
+
+def test_tp_decode_matches_single_device():
+    """Tensor-parallel (tp=2) decode must match unsharded numerics."""
+    params = bb.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=2)
+    prompts = [[5, 6, 7, 8], [9, 10, 11, 12]]
+    toks, lens = dec.pad_prompts(prompts, pad_id=0, bucket=16)
+    ref = dec.generate(CFG, scfg, EOS, 10, params, toks, lens, jax.random.PRNGKey(1))
+    ref_tokens = [dec.extract(ref, i, EOS) for i in range(2)]
+
+    mesh = meshlib.make_mesh(dp=2, tp=4)
+    params_sh = meshlib.shard_params(params, mesh, CFG)
+    toks_sh = jax.device_put(toks, meshlib.batch_sharding(mesh))
+    lens_sh = jax.device_put(lens, meshlib.batch_sharding(mesh))
+    out = dec.generate(CFG, scfg, EOS, 10, params_sh, toks_sh, lens_sh, jax.random.PRNGKey(1))
+    got = [dec.extract(out, i, EOS) for i in range(2)]
+    assert got == ref_tokens
+
+
+def test_sharded_train_step_runs_and_matches():
+    """One dp x tp train step: loss finite, params move, and the sharded loss
+    equals the single-device loss."""
+    tc = trainer.TrainConfig(max_steps=10)
+    state = trainer.init_state(CFG, tc, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    B, S = 8, 32
+    tokens = jnp.asarray(rng.integers(0, 300, size=(B, S)), jnp.int32)
+    tokens = tokens.at[:, 10].set(CFG.layout.speech_gen_start)
+    attn = jnp.ones((B, S), bool)
+    labels = trainer.make_labels(tokens, attn, CFG.layout.speech_gen_start)
+
+    # single-device reference loss
+    _, m_ref = trainer.loss_fn(CFG, state.params, tokens, labels, attn)
+
+    mesh = meshlib.make_mesh(dp=4, tp=2)
+    params_sh = meshlib.shard_params(state.params, mesh, CFG)
+    opt_state = trainer.make_optimizer(tc).init(params_sh)
+    state_sh = trainer.TrainState(params_sh, opt_state, jnp.zeros((), jnp.int32))
+    step_fn = trainer.make_sharded_train_step(CFG, tc, mesh)
+    data = meshlib.batch_sharding(mesh)
+    new_state, metrics = step_fn(
+        state_sh,
+        jax.device_put(tokens, data),
+        jax.device_put(labels, data),
+        jax.device_put(attn, data),
+    )
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    np.testing.assert_allclose(loss, float(m_ref["loss"]), rtol=1e-4)
+    assert int(new_state.step) == 1
+    # params change after the second step (the first runs at lr=0: warmup
+    # ramps from zero, matching optax warmup_cosine semantics)
+    before = np.asarray(state.params["layers"]["wq"], np.float32)
+    new_state, _ = step_fn(
+        new_state,
+        jax.device_put(tokens, data),
+        jax.device_put(labels, data),
+        jax.device_put(attn, data),
+    )
+    after = np.asarray(new_state.params["layers"]["wq"], np.float32)
+    assert not np.allclose(before, after)
+
+
+def test_label_masking_matches_reference_rule():
+    """Labels: IGNORE before <|SPEECH_GENERATION_START|>, supervised from it,
+    IGNORE on padding (reference examples/finetune.py:86-93)."""
+    lay = CFG.layout
+    toks = jnp.asarray([[1, 2, lay.speech_gen_start, 50, 51, lay.speech_gen_end, 0, 0]], jnp.int32)
+    attn = jnp.asarray([[1, 1, 1, 1, 1, 1, 0, 0]], bool)
+    labels = np.asarray(trainer.make_labels(toks, attn, lay.speech_gen_start))
+    assert list(labels[0, :2]) == [trainer.IGNORE_INDEX] * 2
+    assert list(labels[0, 2:6]) == [lay.speech_gen_start, 50, 51, lay.speech_gen_end]
+    assert list(labels[0, 6:]) == [trainer.IGNORE_INDEX] * 2
