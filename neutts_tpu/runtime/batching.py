@@ -1,0 +1,207 @@
+"""Continuous-batching decode core: per-slot cache state, jitted steps.
+
+The lockstep `runtime/decode.py` path assumes every row shares one write
+index (one batch admitted together). This module generalizes to a slot model
+— the heart of a vLLM-style serving engine (reference role N9, SURVEY.md §2b:
+the reference's RTX-4090 numbers come from vLLM continuous batching):
+
+  * a fixed pool of B slots, each an independent sequence with its own
+    cached length, phase (empty / active / done), and PRNG stream;
+  * `prefill_slot` admits one request into a free slot (bucketed prompt
+    lengths bound recompiles; right padding — slot rows [0, len) are valid);
+  * `decode_steps` advances ALL active slots n_steps tokens in one jitted
+    call: per-row K/V scatter at each slot's own length, Pallas flash-decode
+    attention with per-row lens, per-row EOS masking and min_new_tokens;
+  * retirement/admission happen on the host between segments (the engine in
+    neutts_tpu/serving/engine.py).
+
+All state lives on device between calls; only small token buffers cross the
+host boundary per segment.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from neutts_tpu.config import BackboneConfig, SamplingConfig
+from neutts_tpu.models import backbone as bb
+from neutts_tpu.ops import sampling as smp
+
+
+class SlotState(NamedTuple):
+    cache: bb.KVCache  # [L, B, T, K*D] x2
+    token: jax.Array  # [B] int32 — next input token per slot
+    lens: jax.Array  # [B] int32 — tokens currently in the slot's cache
+    prompt_lens: jax.Array  # [B] int32 — prompt portion (for min_new bookkeeping)
+    active: jax.Array  # [B] bool — decoding (not empty, not finished)
+    key: jax.Array
+
+    @staticmethod
+    def create(cfg: BackboneConfig, n_slots: int, key: jax.Array) -> "SlotState":
+        return SlotState(
+            cache=bb.KVCache.create(cfg, n_slots),
+            token=jnp.zeros((n_slots,), jnp.int32),
+            lens=jnp.zeros((n_slots,), jnp.int32),
+            prompt_lens=jnp.zeros((n_slots,), jnp.int32),
+            active=jnp.zeros((n_slots,), bool),
+            key=key,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "eos_id"))
+def prefill_slot(
+    cfg: BackboneConfig,
+    sampling: SamplingConfig,
+    eos_id: int,
+    params,
+    state: SlotState,
+    tokens: jax.Array,  # [Lp] int32, RIGHT-padded to a bucket
+    true_len: jax.Array,  # scalar int32
+    slot: jax.Array,  # scalar int32
+) -> SlotState:
+    """Admit one request into `slot`: fill its cache, sample its first token."""
+    Lp = tokens.shape[0]
+    toks = tokens[None, :]
+    idx = jnp.arange(Lp, dtype=jnp.int32)
+    positions = idx[None, :]
+    cos, sin = bb.rope_tables(cfg.head_dim, cfg.rope_theta, positions)
+    mask = (idx[None, None, :] <= idx[None, :, None]) & (
+        idx[None, None, :] < true_len
+    )  # [1, Lp, Lp]
+    x = params["embed"].astype(jnp.dtype(cfg.dtype))[toks]
+
+    def body(carry, lp_l):
+        x, all_k, all_v = carry
+        lp, l = lp_l
+        x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask)
+        kk = k.astype(all_k.dtype).reshape(1, Lp, -1)[0]
+        vv = v.astype(all_v.dtype).reshape(1, Lp, -1)[0]
+        all_k = lax.dynamic_update_slice(all_k, kk[None, None], (l, slot, 0, 0))
+        all_v = lax.dynamic_update_slice(all_v, vv[None, None], (l, slot, 0, 0))
+        return (x, all_k, all_v), None
+
+    layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    (x, new_k, new_v), _ = lax.scan(
+        body, (x, state.cache.k, state.cache.v), (params["layers"], layer_ids)
+    )
+    x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    last = jnp.take_along_axis(x, (true_len - 1)[None, None, None], axis=1)[:, 0, :]
+    logits = bb._logits(cfg, params, last)  # [1, V]
+    logits = smp.mask_eos(logits, eos_id, jnp.int32(0), sampling.min_new_tokens)
+    k0, key = jax.random.split(state.key)
+    first = smp.sample_tokens(
+        logits,
+        k0,
+        temperature=sampling.temperature,
+        top_k=sampling.top_k,
+        greedy=sampling.greedy,
+        exact_topk=sampling.exact_topk,
+    )[0]
+    return SlotState(
+        cache=bb.KVCache(new_k, new_v),
+        token=state.token.at[slot].set(first),
+        lens=state.lens.at[slot].set(true_len),
+        prompt_lens=state.prompt_lens.at[slot].set(true_len),
+        active=state.active.at[slot].set(first != eos_id),
+        key=key,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "eos_id", "n_steps"))
+def decode_steps(
+    cfg: BackboneConfig,
+    sampling: SamplingConfig,
+    eos_id: int,
+    n_steps: int,
+    params,
+    state: SlotState,
+) -> Tuple[SlotState, jax.Array]:
+    """Advance all active slots n_steps. Returns (state, tokens [B, n_steps]).
+
+    Emitted entries for inactive slots (or post-EOS steps) are `eos_id`; the
+    engine slices per-slot valid counts from the lens delta. Note: the first
+    emitted token of a freshly-admitted slot is produced by `prefill_slot`
+    and lives in `state.token` — the engine records it at admission.
+    """
+    B = state.token.shape[0]
+    T = state.cache.max_len
+    K, G = cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads
+    from neutts_tpu.ops import attention as attn_ops
+
+    pallas = bb.use_pallas_attention()
+    zero_pad = jnp.zeros((B,), jnp.int32)
+
+    def step(carry, i):
+        state = carry
+        write_at = jnp.minimum(state.lens, T - 1)  # [B] per-slot write index
+        positions = write_at[:, None]
+        cos, sin = bb.rope_tables(cfg.head_dim, cfg.rope_theta, positions)
+        x = params["embed"].astype(jnp.dtype(cfg.dtype))[state.token[:, None]]
+        lens_new = write_at + 1  # attend [0, lens] incl. the fresh token
+        ar = jnp.arange(B)
+
+        def body(carry, lp_l):
+            x, all_k, all_v = carry
+            lp, l = lp_l
+            h = bb.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+            q, k, v = bb._qkv(cfg, lp, h, cos, sin)
+            kk = k[:, 0].astype(all_k.dtype).reshape(B, -1)
+            vv = v[:, 0].astype(all_v.dtype).reshape(B, -1)
+            all_k = all_k.at[l, ar, write_at, :].set(kk)
+            all_v = all_v.at[l, ar, write_at, :].set(vv)
+            qg = q[:, 0].reshape(B, K, G, cfg.head_dim)
+            if pallas:
+                a = attn_ops.decode_attention_stacked(
+                    qg, all_k, all_v, l, lens_new, zero_pad
+                )
+            else:
+                ck = lax.dynamic_index_in_dim(all_k, l, 0, keepdims=False)
+                cv = lax.dynamic_index_in_dim(all_v, l, 0, keepdims=False)
+                a = attn_ops.decode_attention_xla(qg, ck, cv, lens_new, zero_pad)
+            a = a.astype(x.dtype).reshape(B, 1, cfg.q_dim)
+            x = x + jnp.dot(a, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+            x = bb._mlp(cfg, lp, x)
+            return (x, all_k, all_v), None
+
+        layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+        (x, new_k, new_v), _ = lax.scan(
+            body, (x, state.cache.k, state.cache.v), (params["layers"], layer_ids)
+        )
+        x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        logits = bb._logits(cfg, params, x[:, 0, :])  # [B, V]
+
+        n_generated = lens_new - state.prompt_lens  # incl. the token being fed
+        suppress = n_generated < sampling.min_new_tokens
+        col = jnp.where(suppress, -jnp.inf, logits[:, eos_id])
+        logits = logits.at[:, eos_id].set(col)
+
+        kstep, key = jax.random.split(state.key)
+        nxt = smp.sample_tokens(
+            logits,
+            kstep,
+            temperature=sampling.temperature,
+            top_k=sampling.top_k,
+            greedy=sampling.greedy,
+            exact_topk=sampling.exact_topk,
+        )
+        in_ctx = lens_new < T
+        nxt = jnp.where(state.active & in_ctx, nxt, eos_id)
+        new_active = state.active & (nxt != eos_id) & in_ctx
+        lens = jnp.where(state.active, lens_new, state.lens)
+        new_state = SlotState(
+            cache=bb.KVCache(new_k, new_v),
+            token=nxt,
+            lens=lens,
+            prompt_lens=state.prompt_lens,
+            active=new_active,
+            key=key,
+        )
+        return new_state, nxt
+
+    state, outs = lax.scan(step, state, jnp.arange(n_steps))
+    return state, outs.T  # [B, n_steps]

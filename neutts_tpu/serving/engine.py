@@ -1,0 +1,175 @@
+"""Continuous-batching serving engine (the framework's vLLM-role component).
+
+The reference's best published throughput comes from serving its backbone
+under vLLM (reference README.md:54, 64); the reference repo itself is
+strictly batch-1. This engine provides that serving capability natively on
+TPU: slot admission/retirement around the jitted decode core in
+neutts_tpu/runtime/batching.py.
+
+Host/device split:
+  * host: request queue, slot bookkeeping, detokenization, result delivery;
+  * device: all prefill/decode compute + sampling; state never leaves HBM
+    between segments.
+
+Usage:
+    eng = Engine(cfg, params, n_slots=16, sampling=..., eos_id=...)
+    rid = eng.submit(prompt_ids, max_new=700)
+    results = eng.run()          # drain everything
+    # or incrementally: eng.step(); eng.pop_finished()
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from collections import deque
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neutts_tpu.config import BackboneConfig, SamplingConfig
+from neutts_tpu.runtime import batching
+from neutts_tpu.runtime.decode import PROMPT_BUCKETS, bucket_length
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt_ids: List[int]
+    max_new: int
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class Engine:
+    def __init__(
+        self,
+        cfg: BackboneConfig,
+        params,
+        *,
+        eos_id: int,
+        n_slots: int = 16,
+        sampling: Optional[SamplingConfig] = None,
+        segment_steps: int = 32,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.eos_id = eos_id
+        self.n_slots = n_slots
+        self.sampling = sampling or SamplingConfig()
+        self.segment_steps = segment_steps
+        self.state = batching.SlotState.create(cfg, n_slots, jax.random.PRNGKey(seed))
+        self._queue: deque[Request] = deque()
+        self._slot_req: List[Optional[Request]] = [None] * n_slots
+        self._finished: List[Request] = []
+        self._ids = itertools.count()
+
+    # --- API ------------------------------------------------------------------
+
+    def submit(self, prompt_ids: Sequence[int], max_new: Optional[int] = None) -> int:
+        if len(prompt_ids) >= self.cfg.max_context:
+            raise ValueError(
+                f"prompt of {len(prompt_ids)} tokens exceeds context "
+                f"{self.cfg.max_context}"
+            )
+        cap = self.cfg.max_context - len(prompt_ids)
+        req = Request(
+            rid=next(self._ids),
+            prompt_ids=list(map(int, prompt_ids)),
+            max_new=min(max_new or cap, cap),
+        )
+        self._queue.append(req)
+        return req.rid
+
+    def pending(self) -> int:
+        return len(self._queue) + sum(r is not None for r in self._slot_req)
+
+    def pop_finished(self) -> List[Request]:
+        out, self._finished = self._finished, []
+        return out
+
+    def step(self) -> None:
+        """One engine tick: admit into free slots, decode one segment, retire."""
+        self._admit()
+        if not any(r is not None for r in self._slot_req):
+            return
+        self.state, outs = batching.decode_steps(
+            self.cfg,
+            self.sampling,
+            self.eos_id,
+            self.segment_steps,
+            self.params,
+            self.state,
+        )
+        outs = np.asarray(outs)  # [B, n_steps]
+        active = np.asarray(self.state.active)
+        for slot, req in enumerate(self._slot_req):
+            if req is None:
+                continue
+            for t in outs[slot]:
+                t = int(t)
+                if t == self.eos_id:
+                    req.done = True
+                    break
+                req.tokens.append(t)
+                if len(req.tokens) >= req.max_new:
+                    req.done = True
+                    break
+            if not active[slot]:
+                req.done = True
+            if req.done:
+                self._retire(slot)
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drain queue + slots; returns {rid: generated tokens (no EOS)}."""
+        while self.pending():
+            self.step()
+        return {r.rid: r.tokens for r in self.pop_finished()}
+
+    # --- internals ------------------------------------------------------------
+
+    def _admit(self) -> None:
+        for slot in range(self.n_slots):
+            if self._slot_req[slot] is not None or not self._queue:
+                continue
+            req = self._queue.popleft()
+            Lp = min(bucket_length(len(req.prompt_ids)), self.cfg.max_context)
+            padded = req.prompt_ids + [0] * (Lp - len(req.prompt_ids))
+            self.state = batching.prefill_slot(
+                self.cfg,
+                self.sampling,
+                self.eos_id,
+                self.params,
+                self.state,
+                jnp.asarray(padded, jnp.int32),
+                jnp.int32(len(req.prompt_ids)),
+                jnp.int32(slot),
+            )
+            first = int(self.state.token[slot])
+            if first != self.eos_id:
+                req.tokens.append(first)
+            if first == self.eos_id or len(req.tokens) >= req.max_new:
+                req.done = True
+                self._finished.append(req)
+                self.state = self.state._replace(
+                    active=self.state.active.at[slot].set(False),
+                    lens=self.state.lens.at[slot].set(0),
+                )
+            else:
+                self._slot_req[slot] = req
+
+    def _retire(self, slot: int, deactivate: bool = True) -> None:
+        req = self._slot_req[slot]
+        if req is not None:
+            self._finished.append(req)
+            self._slot_req[slot] = None
+        elif deactivate:
+            pass
+        if deactivate:
+            self.state = self.state._replace(
+                active=self.state.active.at[slot].set(False),
+                lens=self.state.lens.at[slot].set(0),
+            )

@@ -1,0 +1,70 @@
+"""Continuous-batching engine: greedy outputs must match the lockstep
+generate path per request, across admission orders and slot reuse."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neutts_tpu import config
+from neutts_tpu.models import backbone as bb
+from neutts_tpu.runtime import decode as dec
+from neutts_tpu.serving.engine import Engine
+
+CFG = config.TINY
+EOS = CFG.layout.speech_gen_end
+
+
+@pytest.fixture(scope="module")
+def params():
+    return bb.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+
+def lockstep_greedy(params, prompt, max_new=24):
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=2)
+    toks, lens = dec.pad_prompts([prompt], pad_id=0, bucket=128)
+    res = dec.generate(CFG, scfg, EOS, max_new, params, toks, lens, jax.random.PRNGKey(7))
+    return dec.extract(res, 0, EOS)
+
+
+def test_engine_matches_lockstep(params):
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=2)
+    eng = Engine(CFG, params, eos_id=EOS, n_slots=2, sampling=scfg, segment_steps=8)
+    prompts = [
+        [3, 1, 4, 1, 5],
+        [9, 2, 6, 5, 3, 5, 8],
+        [2, 7, 1],
+        [8, 2, 8, 1, 8],
+        [31, 41, 59],
+    ]
+    rids = [eng.submit(p, max_new=24) for p in prompts]
+    results = eng.run()
+    assert set(results) == set(rids)
+    for rid, prompt in zip(rids, prompts):
+        want = lockstep_greedy(params, prompt, 24)
+        assert results[rid] == want, (rid, results[rid][:8], want[:8])
+
+
+def test_engine_slot_reuse_more_requests_than_slots(params):
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=1)
+    eng = Engine(CFG, params, eos_id=EOS, n_slots=1, sampling=scfg, segment_steps=4)
+    rids = [eng.submit([5 + i, 6, 7], max_new=6) for i in range(4)]
+    results = eng.run()
+    assert len(results) == 4
+    for i, rid in enumerate(rids):
+        want = lockstep_greedy(params, [5 + i, 6, 7], 6)
+        assert results[rid] == want
+
+
+def test_engine_max_new_cap(params):
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=1)
+    eng = Engine(CFG, params, eos_id=EOS, n_slots=2, sampling=scfg, segment_steps=8)
+    rid = eng.submit([1, 2, 3], max_new=5)
+    results = eng.run()
+    assert len(results[rid]) <= 5
+
+
+def test_engine_rejects_oversize_prompt(params):
+    eng = Engine(CFG, params, eos_id=EOS, n_slots=1)
+    with pytest.raises(ValueError):
+        eng.submit(list(range(CFG.max_context)))
