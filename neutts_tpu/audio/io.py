@@ -79,9 +79,26 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return y.astype(np.float32)
 
 
-def load_for_encoding(path: str | Path, target_sr: int = 16_000) -> np.ndarray:
+def load_for_encoding(
+    path: str | Path, target_sr: int = 16_000, prefer_native: bool = True
+) -> np.ndarray:
     """librosa.load(path, sr=16000, mono=True) equivalent
-    (reference neutts/neutts.py:267): mono float32 @ target_sr."""
+    (reference neutts/neutts.py:267): mono float32 @ target_sr.
+
+    Uses the C++ frontend (neutts_tpu/native) when built — same filter design
+    as the SciPy path (agree to ~5e-5); set prefer_native=False to force the
+    pure-Python path.
+    """
+    if prefer_native:
+        try:
+            from neutts_tpu import native
+
+            if native.available():
+                x, sr = native.read_wav(str(path))
+                x = to_mono(x)
+                return native.resample(x, sr, target_sr)
+        except Exception:
+            pass
     x, sr = read_wav(path)
     x = to_mono(x)
     return resample(x, sr, target_sr)
