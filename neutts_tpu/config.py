@@ -112,7 +112,14 @@ class BackboneConfig:
 
     @property
     def layout(self) -> TokenLayout:
-        return TokenLayout(n_text_tokens=self.n_text_tokens)
+        # codebook size derived from the vocab so custom layouts (e.g. the
+        # 64-code test config) stay consistent with vocab_size
+        return TokenLayout(
+            n_text_tokens=self.n_text_tokens,
+            codebook_size=self.vocab_size
+            - self.n_text_tokens
+            - len(SPECIAL_TOKEN_NAMES),
+        )
 
     @property
     def q_dim(self) -> int:
