@@ -67,6 +67,11 @@ class NeuTTS:
         self.watermarker = get_watermarker() if watermarker == "auto" else watermarker
         self.sampling = sampling or cfglib.SamplingConfig(max_context=backbone_cfg.max_context)
         self.streaming = streaming
+        from neutts_tpu.runtime.vocoder import ChunkedVocoder, ExactVocoder
+
+        self._vocoder_exact = ExactVocoder(codec_cfg, codec_params)
+        self._vocoder_chunked = ChunkedVocoder(codec_cfg, codec_params, streaming)
+        self.vocoder_mode = "exact"  # "exact" (parity) | "chunked" (1 compile)
         self.sample_rate = codec_cfg.sample_rate_out  # 24_000 (neutts.py:84)
         self.hop_length = codec_cfg.hop_out  # 480 (neutts.py:86)
         self.max_context = backbone_cfg.max_context  # 2048 (neutts.py:85)
@@ -133,9 +138,9 @@ class NeuTTS:
         if len(codes) == 0:
             # parity: reference raises on zero speech tokens (neutts.py:294-295)
             raise ValueError("No valid speech tokens found in the output.")
-        arr = jnp.asarray(codes, jnp.int32)[None, :]
-        wav = cd.decode(self.codec_cfg, self.codec_params, arr)
-        return np.asarray(wav[0])
+        if self.vocoder_mode == "chunked":
+            return self._vocoder_chunked(codes)
+        return self._vocoder_exact(codes)
 
     def _watermark(self, wav: np.ndarray) -> np.ndarray:
         if self.watermarker is None:

@@ -1,0 +1,127 @@
+"""Vocoder runtime: jit-managed NeuCodec decoding for arbitrary code lengths.
+
+Two modes around the same codec decoder (models/codec.py):
+
+* `ExactVocoder` — decodes the true length; one XLA compile per distinct
+  length (LRU-cached). Bit-identical to `codec.decode`; used for parity
+  gates and one-off synthesis.
+* `ChunkedVocoder` — ONE compiled shape ever: the code sequence is split
+  into the reference's streaming windows (lookback 50 / chunk 25 /
+  lookforward 5 / overlap 1, reference neutts/neutts.py:86-91), all windows
+  decode as a single batch on the MXU, and chunks are stitched with the
+  triangular overlap-add. Matches the full decode to conv-receptive-field
+  tolerance (the same approximation the reference's own streaming mode
+  makes, :407-429) while being compile-stable and embarrassingly parallel —
+  the production/serving path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neutts_tpu.config import CodecConfig, StreamingConfig
+from neutts_tpu.audio.overlap_add import linear_overlap_add
+from neutts_tpu.models import codec as cd
+
+
+class ExactVocoder:
+    """Per-length jitted decode with a compile cache."""
+
+    def __init__(self, cfg: CodecConfig, params, max_cached: int = 32):
+        self.cfg = cfg
+        self.params = params
+        self._fns: Dict[int, object] = {}
+        self._max = max_cached
+
+    def _fn(self, n: int):
+        fn = self._fns.get(n)
+        if fn is None:
+            if len(self._fns) >= self._max:
+                self._fns.pop(next(iter(self._fns)))
+
+            @jax.jit
+            def decode(codes):
+                return cd.decode(self.cfg, self.params, codes)
+
+            fn = decode
+            self._fns[n] = fn
+        return fn
+
+    def __call__(self, codes: Sequence[int] | np.ndarray) -> np.ndarray:
+        arr = jnp.asarray(np.asarray(codes, np.int32).reshape(1, -1))
+        return np.asarray(self._fn(arr.shape[1])(arr)[0])
+
+
+class ChunkedVocoder:
+    """Fixed-window batched decode + overlap-add; one compile total."""
+
+    def __init__(
+        self,
+        cfg: CodecConfig,
+        params,
+        streaming: StreamingConfig = StreamingConfig(),
+        batch_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64, 128),
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.s = streaming
+        self.window = (
+            streaming.lookback
+            + streaming.overlap_frames
+            + streaming.frames_per_chunk
+            + streaming.lookforward
+            + streaming.overlap_frames
+        )  # 82 frames
+        self.buckets = tuple(batch_buckets)
+        self._decode = jax.jit(functools.partial(cd.decode, cfg, params))
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return ((n + self.buckets[-1] - 1) // self.buckets[-1]) * self.buckets[-1]
+
+    def __call__(self, codes: Sequence[int] | np.ndarray) -> np.ndarray:
+        s = self.s
+        hop = self.cfg.hop_out
+        arr = np.asarray(codes, np.int32).reshape(-1)
+        n = len(arr)
+        if n == 0:
+            raise ValueError("No valid speech tokens found in the output.")
+        lb = s.lookback + s.overlap_frames  # left context frames
+        chunk = s.frames_per_chunk
+        emit = chunk + 2 * s.overlap_frames  # frames emitted per window
+        n_chunks = max(1, -(-n // chunk))
+
+        # pad so every window is full: left pad with zeros (only affects the
+        # first window's warmup context), right pad with edge codes (only
+        # affects windows past the real end, which are dropped)
+        padded = np.concatenate(
+            [
+                np.zeros(lb, np.int32),
+                arr,
+                np.full(n_chunks * chunk - n + s.lookforward + s.overlap_frames,
+                        arr[-1], np.int32),
+            ]
+        )
+        windows = np.stack(
+            [padded[i * chunk : i * chunk + self.window] for i in range(n_chunks)]
+        )
+        nb = self._bucket(n_chunks)
+        if nb > n_chunks:
+            windows = np.concatenate(
+                [windows, np.zeros((nb - n_chunks, self.window), np.int32)]
+            )
+        wavs = np.asarray(self._decode(jnp.asarray(windows)))[:n_chunks]
+        # emission region per window: local frames [lb, lb+emit) -> global
+        # [i*chunk, i*chunk+emit), matching the reference's sample_start math
+        # (neutts/neutts.py:416-421)
+        a = lb * hop
+        frames = [w[a : a + emit * hop] for w in wavs]
+        out = linear_overlap_add(frames, stride=s.stride_samples)
+        return out[: n * hop]
