@@ -143,3 +143,28 @@ def make_labels(
     after = jnp.cumsum(is_start.astype(jnp.int32), axis=-1) > 0
     keep = after & attn_mask
     return jnp.where(keep, tokens, IGNORE_INDEX)
+
+
+# --- training checkpoint/resume (orbax) ---------------------------------------
+#
+# The reference persists finetunes via HF Trainer save_strategy/save_steps
+# (reference examples/finetune.py:148-150, SURVEY.md §5). Here: async orbax
+# checkpoints of the full TrainState (params + optimizer moments + step) with
+# resume — survives preemption mid-run, which the reference cannot.
+
+
+def save_train_state(path, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(path), jax.device_get(state._asdict()), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_train_state(path, cfg: BackboneConfig, tc: TrainConfig) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    template = init_state(cfg, tc, jax.random.PRNGKey(0))
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(str(path), target=jax.device_get(template._asdict()))
+    return TrainState(**restored)
