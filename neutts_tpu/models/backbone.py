@@ -105,15 +105,13 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def _logits(cfg: BackboneConfig, params: Params, x: jax.Array) -> jax.Array:
+    """LM head on the REAL vocab only: the embedding rows are padded to a
+    lane multiple for the gather path, but slicing the head to vocab_size
+    avoids both computing pad logits and the [B, V] -inf mask pass that
+    would otherwise be needed to keep pad ids unsampleable."""
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
-    if cfg.padded_vocab != cfg.vocab_size:
-        pad = cfg.padded_vocab - cfg.vocab_size
-        mask = jnp.concatenate(
-            [jnp.zeros((cfg.vocab_size,), jnp.float32), jnp.full((pad,), -jnp.inf)]
-        )
-        logits = logits + mask
-    return logits
+    head = head[:, : cfg.vocab_size]
+    return jnp.dot(x, head, preferred_element_type=jnp.float32)
 
 
 class KVCache(NamedTuple):

@@ -84,3 +84,28 @@ def apply_sampling_config(
     logits: jax.Array, cfg: SamplingConfig, eos_id: int, step: jax.Array
 ) -> jax.Array:
     return mask_eos(logits, eos_id, step, cfg.min_new_tokens)
+
+
+def sample_step(
+    logits: jax.Array,  # [B, V] f32 (real vocab only)
+    key: jax.Array,
+    cfg: SamplingConfig,
+    eos_id: int,
+    suppress_eos,  # bool scalar or [B] — True while min_new_tokens unmet
+) -> jax.Array:
+    """Decode-loop sampling with EOS suppression applied on the top-k
+    CANDIDATES (one [B, k] op) instead of the full [B, V] logit row —
+    saves a full-vocab copy per step."""
+    if cfg.greedy:
+        col = jnp.where(suppress_eos, -jnp.inf, logits[:, eos_id])
+        return jnp.argmax(logits.at[:, eos_id].set(col), axis=-1).astype(jnp.int32)
+    if cfg.exact_topk:
+        vals, idx = lax.top_k(logits, cfg.top_k)
+    else:
+        vals, idx = lax.approx_max_k(logits, cfg.top_k)
+    sup = jnp.broadcast_to(jnp.asarray(suppress_eos), (logits.shape[0],))
+    vals = jnp.where((idx == eos_id) & sup[:, None], -jnp.inf, vals)
+    vals = vals / jnp.maximum(cfg.temperature, 1e-6)
+    g = jax.random.gumbel(key, vals.shape, vals.dtype)
+    choice = jnp.argmax(vals + g, axis=-1)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)

@@ -53,7 +53,11 @@ class SlotState(NamedTuple):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "eos_id"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sampling", "eos_id"),
+    donate_argnums=(4,),  # slot state (KV cache) updates in place
+)
 def prefill_slot(
     cfg: BackboneConfig,
     sampling: SamplingConfig,
@@ -92,15 +96,9 @@ def prefill_slot(
     x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     last = jnp.take_along_axis(x, (true_len - 1)[None, None, None], axis=1)[:, 0, :]
     logits = bb._logits(cfg, params, last)  # [1, V]
-    logits = smp.mask_eos(logits, eos_id, jnp.int32(0), sampling.min_new_tokens)
     k0, key = jax.random.split(state.key)
-    first = smp.sample_tokens(
-        logits,
-        k0,
-        temperature=sampling.temperature,
-        top_k=sampling.top_k,
-        greedy=sampling.greedy,
-        exact_topk=sampling.exact_topk,
+    first = smp.sample_step(
+        logits, k0, sampling, eos_id, jnp.int32(0) < sampling.min_new_tokens
     )[0]
     return SlotState(
         cache=bb.KVCache(new_k, new_v),
@@ -112,7 +110,11 @@ def prefill_slot(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "eos_id", "n_steps"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sampling", "eos_id", "n_steps"),
+    donate_argnums=(5,),  # slot state (KV cache) updates in place
+)
 def decode_steps(
     cfg: BackboneConfig,
     sampling: SamplingConfig,
@@ -177,18 +179,9 @@ def decode_steps(
 
         n_generated = lens_new - state.prompt_lens  # incl. the token being fed
         suppress = n_generated < sampling.min_new_tokens
-        col = jnp.where(suppress, -jnp.inf, logits[:, eos_id])
-        logits = logits.at[:, eos_id].set(col)
 
         kstep, key = jax.random.split(state.key)
-        nxt = smp.sample_tokens(
-            logits,
-            kstep,
-            temperature=sampling.temperature,
-            top_k=sampling.top_k,
-            greedy=sampling.greedy,
-            exact_topk=sampling.exact_topk,
-        )
+        nxt = smp.sample_step(logits, kstep, sampling, eos_id, suppress)
         in_ctx = lens_new < T
         nxt = jnp.where(state.active & in_ctx, nxt, eos_id)
         new_active = state.active & (nxt != eos_id) & in_ctx

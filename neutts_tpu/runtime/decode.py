@@ -66,14 +66,8 @@ def _generate_impl(
     logits, cache = bb.prefill(cfg, params, tokens, prompt_lens, cache)
 
     def sample(logits, step, key):
-        logits = smp.mask_eos(logits, eos_id, step, sampling.min_new_tokens)
-        return smp.sample_tokens(
-            logits,
-            key,
-            temperature=sampling.temperature,
-            top_k=sampling.top_k,
-            greedy=sampling.greedy,
-            exact_topk=sampling.exact_topk,
+        return smp.sample_step(
+            logits, key, sampling, eos_id, step < sampling.min_new_tokens
         )
 
     k0, key = jax.random.split(key)
@@ -228,7 +222,11 @@ def prefill_init(
     return state, first
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sampling", "eos_id", "n_steps"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sampling", "eos_id", "n_steps"),
+    donate_argnums=(5,),  # state (KV cache) updates in place across segments
+)
 def decode_segment(
     cfg: BackboneConfig,
     sampling: SamplingConfig,
@@ -250,11 +248,9 @@ def decode_segment(
         cur_index = s.prompt_end + s.step - 1
         in_ctx = cur_index < cfg.max_context - 1
         logits, cache = bb.decode_step(cfg, params, s.token, s.cache, cur_index, s.pad)
-        logits = smp.mask_eos(logits, eos_id, s.step, sampling.min_new_tokens)
         kstep, key = jax.random.split(s.key)
-        nxt = smp.sample_tokens(
-            logits, kstep, temperature=sampling.temperature, top_k=sampling.top_k,
-            greedy=sampling.greedy, exact_topk=sampling.exact_topk,
+        nxt = smp.sample_step(
+            logits, kstep, sampling, eos_id, s.step < sampling.min_new_tokens
         )
         nxt = jnp.where(s.done | ~in_ctx, eos_id, nxt)
         out = lax.dynamic_update_slice(out, nxt[:, None], (0, i))
