@@ -41,7 +41,7 @@ def _kernel(
     pad_ref,  # SMEM [B] int32 — left-pad per row (attend t >= pad[b])
     layer_ref,  # SMEM [1] int32 — which layer of the stacked cache to read
     # inputs
-    q_ref,  # VMEM [RB, KG, D] — this tile's queries (K*G heads flattened)
+    q_ref,  # VMEM [RB, KG, K*D] — BLOCK-DIAGONAL queries (see caller)
     k_hbm,  # ANY  [L, B, T, K*D] — FULL stacked cache (no XLA slice copy)
     v_hbm,  # ANY  [L, B, T, K*D]
     # outputs
@@ -108,40 +108,38 @@ def _kernel(
         t1d = blk * block_t + jax.lax.broadcasted_iota(
             jnp.int32, (n_kv * group, block_t), 1
         )
-        # per-row compute with plain 2D dots (Mosaic-friendly); rb is small
         for r in range(row_block):
-            q = q_ref[r].astype(jnp.float32)  # [KG, D]
-            k = k_buf[slot, r].astype(jnp.float32)  # [BT, K*D]
-            v = v_buf[slot, r]  # [BT, K*D]
+            # q_ref holds BLOCK-DIAGONAL queries [KG, K*D]: row kg has its
+            # head's q in that head's feature block and zeros elsewhere, so a
+            # single [KG,KD]x[KD,BT] dot yields every head's scores at once
+            # (the zero blocks annihilate cross-head terms).
+            qbd = q_ref[r].astype(jnp.float32)  # [KG, KD]
+            k = k_buf[slot, r]  # [BT, KD]
+            v = v_buf[slot, r]
 
-            s_heads = []
-            for h in range(n_kv):
-                qh = q[h * group : (h + 1) * group, :]  # [G, D]
-                kh = k[:, h * head_dim : (h + 1) * head_dim]  # [BT, D]
-                s_heads.append(
-                    jax.lax.dot_general(
-                        qh,
-                        kh,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )  # [G, BT]
-            sc = jnp.concatenate(s_heads, axis=0) * scale  # [KG, BT]
+            sc = jax.lax.dot_general(
+                qbd,
+                k.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [KG, BT]
             valid = (t1d < lens_ref[b0 + r]) & (t1d >= pad_ref[b0 + r])
             sc = jnp.where(valid, sc, -1e30)
 
             m_blk = jnp.max(sc, axis=1, keepdims=True)  # [KG, 1]
             m_old = m_ref[r, :, :1]
             m_new = jnp.maximum(m_old, m_blk)
-            alpha = jnp.exp(m_old - m_new)  # [KG, 1]
-            p = jnp.exp(sc - m_new)  # [KG, BT]
-            l_ref[r, :, :1] = l_ref[r, :, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            alpha = jnp.exp(m_old - m_new)
+            pexp = jnp.exp(sc - m_new)  # [KG, BT]
+            l_ref[r, :, :1] = l_ref[r, :, :1] * alpha + jnp.sum(
+                pexp, axis=1, keepdims=True
+            )
             m_ref[r, :, :1] = m_new
 
             pv_heads = []
             for h in range(n_kv):
-                ph = p[h * group : (h + 1) * group, :]  # [G, BT]
-                vh = v[:, h * head_dim : (h + 1) * head_dim]  # [BT, D]
+                ph = pexp[h * group : (h + 1) * group, :]
+                vh = v[:, h * head_dim : (h + 1) * head_dim]
                 pv_heads.append(
                     jax.lax.dot_general(
                         ph.astype(vh.dtype),
@@ -149,7 +147,7 @@ def _kernel(
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                )  # [G, D]
+                )
             pv = jnp.concatenate(pv_heads, axis=0)  # [KG, D]
             acc_ref[r] = acc_ref[r] * alpha + pv
         return 0
@@ -198,7 +196,7 @@ def decode_attention_stacked(
         grid=(B // rb,),
         in_specs=[
             pl.BlockSpec(
-                (rb, K * G, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+                (rb, K * G, K * D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -218,6 +216,14 @@ def decode_attention_stacked(
     kernel = functools.partial(
         _kernel, n_kv=K, group=G, head_dim=D, block_t=block_t, row_block=rb
     )
+    # block-diagonal query layout: [B, KG, K*D] with head h's q occupying
+    # feature block h (zeros elsewhere) — one dot per row per cache block
+    qf = q.reshape(B, K * G, D)
+    qbd = jnp.zeros((B, K, G, K, D), qf.dtype)
+    for h in range(K):
+        qbd = qbd.at[:, h, :, h, :].set(q[:, h])
+    qbd = qbd.reshape(B, K * G, K * D)
+
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -227,7 +233,7 @@ def decode_attention_stacked(
         lens,
         pad,
         jnp.reshape(layer, (1,)).astype(jnp.int32),
-        q.reshape(B, K * G, D),
+        qbd,
         all_k,
         all_v,
     )
