@@ -109,6 +109,7 @@ class BackboneConfig:
     max_context: int = 2048  # reference neutts/neutts.py:85
     n_text_tokens: int = QWEN25_TEXT_TOKENS
     dtype: str = "bfloat16"
+    kv_dtype: str = "bfloat16"  # "bfloat16" | "int8" (per-token-scaled cache)
 
     @property
     def layout(self) -> TokenLayout:

@@ -122,21 +122,49 @@ class KVCache(NamedTuple):
     DMAs [block_t, 128] tiles straight from this layout (Mosaic requires
     HBM-slice minor dims aligned to the 128-lane tiling), and a single DMA
     covers every head.
+
+    Quantized mode (cfg.kv_dtype == "int8"): k/v hold int8 values with
+    per-token symmetric scales in k_scale/v_scale [L, B, T_max] f32 —
+    halves decode bandwidth (the binding constraint, ~400 GB/s practical on
+    this chip) and doubles the max batch. Scales are folded into the scores
+    (k) and the probabilities (v) so the matmuls stay int8-as-bf16.
     """
 
     k: jax.Array
     v: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @staticmethod
     def create(cfg: BackboneConfig, batch: int, max_len: Optional[int] = None, dtype=None):
-        dtype = dtype or jnp.dtype(cfg.dtype)
         T = max_len or cfg.max_context
         shape = (cfg.n_layers, batch, T, cfg.n_kv_heads * cfg.head_dim)
+        if cfg.kv_dtype == "int8":
+            sshape = (cfg.n_layers, batch, T)
+            return KVCache(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.zeros(sshape, jnp.float32),
+                v_scale=jnp.zeros(sshape, jnp.float32),
+            )
+        dtype = dtype or jnp.dtype(cfg.dtype)
         return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def max_len(self) -> int:
         return self.k.shape[2]
+
+
+def quantize_kv(x: jax.Array):
+    """x: [..., KD] -> (int8 values [..., KD], f32 scales [...])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
 
 
 def _attend(
@@ -252,25 +280,42 @@ def prefill(
     )
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[tokens]
 
+    quant = cache.quantized
+
     def body(carry, lp_l):
-        x, all_k, all_v = carry
+        x, all_k, all_v, ks, vs = carry
         lp, l = lp_l
         x, k, v = _block_fresh(cfg, lp, x, cos, sin, mask)
         B_, S_ = k.shape[0], k.shape[1]
-        all_k = lax.dynamic_update_slice(
-            all_k, k.astype(all_k.dtype).reshape(B_, S_, -1)[None], (l, 0, 0, 0)
-        )
-        all_v = lax.dynamic_update_slice(
-            all_v, v.astype(all_v.dtype).reshape(B_, S_, -1)[None], (l, 0, 0, 0)
-        )
-        return (x, all_k, all_v), None
+        kf = k.reshape(B_, S_, -1)
+        vf = v.reshape(B_, S_, -1)
+        if quant:
+            kq, ksc = quantize_kv(kf)
+            vq, vsc = quantize_kv(vf)
+            all_k = lax.dynamic_update_slice(all_k, kq[None], (l, 0, 0, 0))
+            all_v = lax.dynamic_update_slice(all_v, vq[None], (l, 0, 0, 0))
+            ks = lax.dynamic_update_slice(ks, ksc[None], (l, 0, 0))
+            vs = lax.dynamic_update_slice(vs, vsc[None], (l, 0, 0))
+        else:
+            all_k = lax.dynamic_update_slice(
+                all_k, kf.astype(all_k.dtype)[None], (l, 0, 0, 0)
+            )
+            all_v = lax.dynamic_update_slice(
+                all_v, vf.astype(all_v.dtype)[None], (l, 0, 0, 0)
+            )
+        return (x, all_k, all_v, ks, vs), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-    (x, new_k, new_v), _ = lax.scan(
-        body, (x, cache.k, cache.v), (params["layers"], layer_ids)
+    dummy = jnp.zeros((), jnp.float32)
+    ks0 = cache.k_scale if quant else dummy
+    vs0 = cache.v_scale if quant else dummy
+    (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
+        body, (x, cache.k, cache.v, ks0, vs0), (params["layers"], layer_ids)
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _logits(cfg, params, x[:, -1, :])
+    if quant:
+        return logits, KVCache(new_k, new_v, new_ks, new_vs)
     return logits, KVCache(k=new_k, v=new_v)
 
 
@@ -292,38 +337,63 @@ def decode_step(
     lens = jnp.full((B,), cur_index + 1, jnp.int32)  # write-then-attend
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[token[:, None]]
     pallas = use_pallas_attention()
+    quant = cache.quantized
 
     def body(carry, lp_l):
-        x, all_k, all_v = carry
+        x, all_k, all_v, ks, vs = carry
         lp, l = lp_l
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, h, cos, sin)
         # write the current token's K/V first (in-place on the scan carry),
         # then attend over [pad, cur_index] — no separate self term
-        upd_k = k[:, 0].astype(all_k.dtype).reshape(B, -1)[None, :, None, :]
-        upd_v = v[:, 0].astype(all_v.dtype).reshape(B, -1)[None, :, None, :]
-        all_k = lax.dynamic_update_slice(all_k, upd_k, (l, 0, cur_index, 0))
-        all_v = lax.dynamic_update_slice(all_v, upd_v, (l, 0, cur_index, 0))
+        kf = k[:, 0].reshape(B, -1)
+        vf = v[:, 0].reshape(B, -1)
+        if quant:
+            kq, ksc = quantize_kv(kf)
+            vq, vsc = quantize_kv(vf)
+            all_k = lax.dynamic_update_slice(all_k, kq[None, :, None, :], (l, 0, cur_index, 0))
+            all_v = lax.dynamic_update_slice(all_v, vq[None, :, None, :], (l, 0, cur_index, 0))
+            ks = lax.dynamic_update_slice(ks, ksc[None, :, None], (l, 0, cur_index))
+            vs = lax.dynamic_update_slice(vs, vsc[None, :, None], (l, 0, cur_index))
+        else:
+            all_k = lax.dynamic_update_slice(
+                all_k, kf.astype(all_k.dtype)[None, :, None, :], (l, 0, cur_index, 0)
+            )
+            all_v = lax.dynamic_update_slice(
+                all_v, vf.astype(all_v.dtype)[None, :, None, :], (l, 0, cur_index, 0)
+            )
         qg = q[:, 0].reshape(B, K, G, cfg.head_dim)
         if pallas:
             attn = attn_ops.decode_attention_stacked(
-                qg, all_k, all_v, l, lens, pad
+                qg, all_k, all_v, l, lens, pad,
+                k_scale=ks if quant else None,
+                v_scale=vs if quant else None,
             )
         else:
             ck = lax.dynamic_index_in_dim(all_k, l, 0, keepdims=False)
             cv = lax.dynamic_index_in_dim(all_v, l, 0, keepdims=False)
+            if quant:
+                ck = ck.astype(jnp.float32) * lax.dynamic_index_in_dim(ks, l, 0, keepdims=False)[..., None]
+                cv = cv.astype(jnp.float32) * lax.dynamic_index_in_dim(vs, l, 0, keepdims=False)[..., None]
             attn = attn_ops.decode_attention_xla(qg, ck, cv, lens, pad)
         attn = attn.astype(x.dtype).reshape(B, 1, cfg.q_dim)
         x = x + jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
         x = _mlp(cfg, lp, x)
-        return (x, all_k, all_v), None
+        return (x, all_k, all_v, ks, vs), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-    (x, new_k, new_v), _ = lax.scan(
-        body, (x, cache.k, cache.v), (params["layers"], layer_ids)
+    dummy = jnp.zeros((), jnp.float32)
+    (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
+        body,
+        (x, cache.k, cache.v,
+         cache.k_scale if quant else dummy,
+         cache.v_scale if quant else dummy),
+        (params["layers"], layer_ids),
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _logits(cfg, params, x[:, 0, :])
+    if quant:
+        return logits, KVCache(new_k, new_v, new_ks, new_vs)
     return logits, KVCache(k=new_k, v=new_v)
 
 

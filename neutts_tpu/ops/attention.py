@@ -40,26 +40,22 @@ def _kernel(
     lens_ref,  # SMEM [B] int32 — valid length per row (attend t < lens[b])
     pad_ref,  # SMEM [B] int32 — left-pad per row (attend t >= pad[b])
     layer_ref,  # SMEM [1] int32 — which layer of the stacked cache to read
-    # inputs
-    q_ref,  # VMEM [RB, KG, K*D] — BLOCK-DIAGONAL queries (see caller)
-    k_hbm,  # ANY  [L, B, T, K*D] — FULL stacked cache (no XLA slice copy)
-    v_hbm,  # ANY  [L, B, T, K*D]
-    # outputs
-    o_ref,  # VMEM [RB, KG, D]
-    # scratch
-    k_buf,  # VMEM [2, RB, BLOCK_T, K*D]
-    v_buf,  # VMEM [2, RB, BLOCK_T, K*D]
-    acc_ref,  # VMEM [RB, KG, D] f32
-    m_ref,  # VMEM [RB, KG, 128] f32 (running max, lane 0 used)
-    l_ref,  # VMEM [RB, KG, 128] f32 (running denom, lane 0 used)
-    sem,  # DMA semaphores [2, 2*RB] (k sems first, then v sems)
-    *,
+    *refs,  # inputs (q, k, v[, k_scale, v_scale]) + output + scratch
     n_kv: int,
     group: int,
     head_dim: int,
     block_t: int,
     row_block: int,
+    quantized: bool,
 ):
+    if quantized:
+        (q_ref, k_hbm, v_hbm, ks_ref, vs_ref, o_ref,
+         k_buf, v_buf, acc_ref, m_ref, l_ref, sem) = refs
+    else:
+        (q_ref, k_hbm, v_hbm, o_ref,
+         k_buf, v_buf, acc_ref, m_ref, l_ref, sem) = refs
+        ks_ref = vs_ref = None
+
     tile = pl.program_id(0)
     layer = layer_ref[0]
     b0 = tile * row_block
@@ -71,23 +67,28 @@ def _kernel(
         n_max = jnp.maximum(n_max, lens_ref[b0 + r])
     n_blocks = lax.div(n_max + block_t - 1, block_t)
 
-    def dma(slot, blk, which, r):
-        hbm, buf = (k_hbm, k_buf) if which == 0 else (v_hbm, v_buf)
-        return pltpu.make_async_copy(
-            hbm.at[layer, b0 + r, pl.ds(blk * block_t, block_t), :],
-            buf.at[slot, r],
-            sem.at[slot, which * row_block + r],
-        )
+    def dmas(slot, blk, r):
+        ds = pl.ds(blk * block_t, block_t)
+        return [
+            pltpu.make_async_copy(
+                k_hbm.at[layer, b0 + r, ds, :], k_buf.at[slot, r],
+                sem.at[slot, 0 * row_block + r],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[layer, b0 + r, ds, :], v_buf.at[slot, r],
+                sem.at[slot, 1 * row_block + r],
+            ),
+        ]
 
     def start_dma(slot, blk):
         for r in range(row_block):
-            dma(slot, blk, 0, r).start()
-            dma(slot, blk, 1, r).start()
+            for d in dmas(slot, blk, r):
+                d.start()
 
     def wait_dma(slot, blk):
         for r in range(row_block):
-            dma(slot, blk, 0, r).wait()
-            dma(slot, blk, 1, r).wait()
+            for d in dmas(slot, blk, r):
+                d.wait()
 
     start_dma(0, 0)
     acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -123,6 +124,10 @@ def _kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [KG, BT]
+            if quantized:
+                # fold the per-token K scale into the scores (scales arrive
+                # as a BlockSpec-pipelined [1, RB, T] VMEM input)
+                sc = sc * ks_ref[0, r : r + 1, pl.ds(blk * block_t, block_t)]
             valid = (t1d < lens_ref[b0 + r]) & (t1d >= pad_ref[b0 + r])
             sc = jnp.where(valid, sc, -1e30)
 
@@ -136,13 +141,21 @@ def _kernel(
             )
             m_ref[r, :, :1] = m_new
 
+            if quantized:
+                # fold the per-token V scale into the probabilities
+                pexp = pexp * vs_ref[0, r : r + 1, pl.ds(blk * block_t, block_t)]
+                pdt = jnp.bfloat16
+            else:
+                pdt = v.dtype
             pv_heads = []
             for h in range(n_kv):
                 ph = pexp[h * group : (h + 1) * group, :]
                 vh = v[:, h * head_dim : (h + 1) * head_dim]
+                if quantized:
+                    vh = vh.astype(jnp.bfloat16)  # int8 values are exact in bf16
                 pv_heads.append(
                     jax.lax.dot_general(
-                        ph.astype(vh.dtype),
+                        ph.astype(pdt),
                         vh,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -167,6 +180,8 @@ def decode_attention_stacked(
     layer: jax.Array,  # scalar int32
     lens: jax.Array,  # [B] int32 — attend slots [pad, lens)
     pad: jax.Array,  # [B] int32
+    k_scale: jax.Array | None = None,  # [L, B, T] f32 (int8 cache mode)
+    v_scale: jax.Array | None = None,
     *,
     block_t: int = BLOCK_T,
     row_block: int = 8,
@@ -180,10 +195,14 @@ def decode_attention_stacked(
     handles `row_block` batch rows: Pallas grid programs run sequentially on
     the TensorCore, so per-program latency must be amortized over rows
     (grid=(B,) was ~3x slower at B=256).
+
+    With k_scale/v_scale the cache is int8 with per-token symmetric scales;
+    scales are folded into scores/probabilities so the matmuls stay dense.
     """
     B, K, G, D = q.shape
     T = all_k.shape[2]
     assert all_k.shape[3] == K * D, (all_k.shape, K, D)
+    quant = k_scale is not None
     block_t = min(block_t, T)
     assert T % block_t == 0, (T, block_t)
     rb = row_block
@@ -191,30 +210,46 @@ def decode_attention_stacked(
         rb //= 2
     rb = max(rb, 1)
 
+    in_specs = [
+        pl.BlockSpec(
+            (rb, K * G, K * D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((2, rb, block_t, K * D), all_k.dtype),
+        pltpu.VMEM((2, rb, block_t, K * D), all_v.dtype),
+    ]
+    if quant:
+        # whole scale rows are tiny (rb x T f32 = 64 KB at rb=8): let the
+        # BlockSpec pipeline stream them, indexed by the prefetched layer
+        def scale_map(b, lens_ref, pad_ref, layer_ref):
+            return (layer_ref[0], b, 0)
+
+        in_specs += [
+            pl.BlockSpec((1, rb, T), scale_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, T), scale_map, memory_space=pltpu.VMEM),
+        ]
+    scratch += [
+        pltpu.VMEM((rb, K * G, D), jnp.float32),
+        pltpu.VMEM((rb, K * G, 128), jnp.float32),
+        pltpu.VMEM((rb, K * G, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 2 * rb)),
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B // rb,),
-        in_specs=[
-            pl.BlockSpec(
-                (rb, K * G, K * D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (rb, K * G, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, rb, block_t, K * D), all_k.dtype),
-            pltpu.VMEM((2, rb, block_t, K * D), all_v.dtype),
-            pltpu.VMEM((rb, K * G, D), jnp.float32),
-            pltpu.VMEM((rb, K * G, 128), jnp.float32),
-            pltpu.VMEM((rb, K * G, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2 * rb)),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
-        _kernel, n_kv=K, group=G, head_dim=D, block_t=block_t, row_block=rb
+        _kernel, n_kv=K, group=G, head_dim=D, block_t=block_t, row_block=rb,
+        quantized=quant,
     )
     # block-diagonal query layout: [B, KG, K*D] with head h's q occupying
     # feature block h (zeros elsewhere) — one dot per row per cache block
@@ -224,19 +259,22 @@ def decode_attention_stacked(
         qbd = qbd.at[:, h, :, h, :].set(q[:, h])
     qbd = qbd.reshape(B, K * G, K * D)
 
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, K * G, D), all_k.dtype),
-        interpret=interpret,
-    )(
+    operands = [
         lens,
         pad,
         jnp.reshape(layer, (1,)).astype(jnp.int32),
         qbd,
         all_k,
         all_v,
-    )
+    ]
+    if quant:
+        operands += [k_scale, v_scale]
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, K * G, D), q.dtype),
+        interpret=interpret,
+    )(*operands)
     return out.reshape(B, K, G, D)
 
 

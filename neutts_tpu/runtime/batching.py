@@ -79,19 +79,38 @@ def prefill_slot(
     )  # [1, Lp, Lp]
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[toks]
 
+    quant = state.cache.quantized
+
     def body(carry, lp_l):
-        x, all_k, all_v = carry
+        x, all_k, all_v, ks, vs = carry
         lp, l = lp_l
         x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask)
-        kk = k.astype(all_k.dtype).reshape(1, Lp, -1)[0]
-        vv = v.astype(all_v.dtype).reshape(1, Lp, -1)[0]
-        all_k = lax.dynamic_update_slice(all_k, kk[None, None], (l, slot, 0, 0))
-        all_v = lax.dynamic_update_slice(all_v, vv[None, None], (l, slot, 0, 0))
-        return (x, all_k, all_v), None
+        kf = k.reshape(1, Lp, -1)[0]
+        vf = v.reshape(1, Lp, -1)[0]
+        if quant:
+            kq, ksc = bb.quantize_kv(kf)
+            vq, vsc = bb.quantize_kv(vf)
+            all_k = lax.dynamic_update_slice(all_k, kq[None, None], (l, slot, 0, 0))
+            all_v = lax.dynamic_update_slice(all_v, vq[None, None], (l, slot, 0, 0))
+            ks = lax.dynamic_update_slice(ks, ksc[None, None], (l, slot, 0))
+            vs = lax.dynamic_update_slice(vs, vsc[None, None], (l, slot, 0))
+        else:
+            all_k = lax.dynamic_update_slice(
+                all_k, kf.astype(all_k.dtype)[None, None], (l, slot, 0, 0)
+            )
+            all_v = lax.dynamic_update_slice(
+                all_v, vf.astype(all_v.dtype)[None, None], (l, slot, 0, 0)
+            )
+        return (x, all_k, all_v, ks, vs), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-    (x, new_k, new_v), _ = lax.scan(
-        body, (x, state.cache.k, state.cache.v), (params["layers"], layer_ids)
+    dummy = jnp.zeros((), jnp.float32)
+    (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
+        body,
+        (x, state.cache.k, state.cache.v,
+         state.cache.k_scale if quant else dummy,
+         state.cache.v_scale if quant else dummy),
+        (params["layers"], layer_ids),
     )
     x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     last = jnp.take_along_axis(x, (true_len - 1)[None, None, None], axis=1)[:, 0, :]
@@ -100,8 +119,11 @@ def prefill_slot(
     first = smp.sample_step(
         logits, k0, sampling, eos_id, jnp.int32(0) < sampling.min_new_tokens
     )[0]
+    new_cache = (
+        bb.KVCache(new_k, new_v, new_ks, new_vs) if quant else bb.KVCache(new_k, new_v)
+    )
     return SlotState(
-        cache=bb.KVCache(new_k, new_v),
+        cache=new_cache,
         token=state.token.at[slot].set(first),
         lens=state.lens.at[slot].set(true_len),
         prompt_lens=state.prompt_lens.at[slot].set(true_len),
@@ -137,6 +159,7 @@ def decode_steps(
 
     pallas = bb.use_pallas_attention()
     zero_pad = jnp.zeros((B,), jnp.int32)
+    quant = state.cache.quantized
 
     def step(carry, i):
         state = carry
@@ -148,31 +171,49 @@ def decode_steps(
         ar = jnp.arange(B)
 
         def body(carry, lp_l):
-            x, all_k, all_v = carry
+            x, all_k, all_v, ks, vs = carry
             lp, l = lp_l
             h = bb.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
             q, k, v = bb._qkv(cfg, lp, h, cos, sin)
-            kk = k[:, 0].astype(all_k.dtype).reshape(B, -1)
-            vv = v[:, 0].astype(all_v.dtype).reshape(B, -1)
-            all_k = all_k.at[l, ar, write_at, :].set(kk)
-            all_v = all_v.at[l, ar, write_at, :].set(vv)
+            kf = k[:, 0].reshape(B, -1)
+            vf = v[:, 0].reshape(B, -1)
+            if quant:
+                kq, ksc = bb.quantize_kv(kf)
+                vq, vsc = bb.quantize_kv(vf)
+                all_k = all_k.at[l, ar, write_at, :].set(kq)
+                all_v = all_v.at[l, ar, write_at, :].set(vq)
+                ks = ks.at[l, ar, write_at].set(ksc)
+                vs = vs.at[l, ar, write_at].set(vsc)
+            else:
+                all_k = all_k.at[l, ar, write_at, :].set(kf.astype(all_k.dtype))
+                all_v = all_v.at[l, ar, write_at, :].set(vf.astype(all_v.dtype))
             qg = q[:, 0].reshape(B, K, G, cfg.head_dim)
             if pallas:
                 a = attn_ops.decode_attention_stacked(
-                    qg, all_k, all_v, l, lens_new, zero_pad
+                    qg, all_k, all_v, l, lens_new, zero_pad,
+                    k_scale=ks if quant else None,
+                    v_scale=vs if quant else None,
                 )
             else:
                 ck = lax.dynamic_index_in_dim(all_k, l, 0, keepdims=False)
                 cv = lax.dynamic_index_in_dim(all_v, l, 0, keepdims=False)
+                if quant:
+                    ck = ck.astype(jnp.float32) * lax.dynamic_index_in_dim(ks, l, 0, keepdims=False)[..., None]
+                    cv = cv.astype(jnp.float32) * lax.dynamic_index_in_dim(vs, l, 0, keepdims=False)[..., None]
                 a = attn_ops.decode_attention_xla(qg, ck, cv, lens_new, zero_pad)
             a = a.astype(x.dtype).reshape(B, 1, cfg.q_dim)
             x = x + jnp.dot(a, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
             x = bb._mlp(cfg, lp, x)
-            return (x, all_k, all_v), None
+            return (x, all_k, all_v, ks, vs), None
 
         layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-        (x, new_k, new_v), _ = lax.scan(
-            body, (x, state.cache.k, state.cache.v), (params["layers"], layer_ids)
+        dummy = jnp.zeros((), jnp.float32)
+        (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
+            body,
+            (x, state.cache.k, state.cache.v,
+             state.cache.k_scale if quant else dummy,
+             state.cache.v_scale if quant else dummy),
+            (params["layers"], layer_ids),
         )
         x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         logits = bb._logits(cfg, params, x[:, 0, :])  # [B, V]
@@ -186,8 +227,13 @@ def decode_steps(
         nxt = jnp.where(state.active & in_ctx, nxt, eos_id)
         new_active = state.active & (nxt != eos_id) & in_ctx
         lens = jnp.where(state.active, lens_new, state.lens)
+        new_cache = (
+            bb.KVCache(new_k, new_v, new_ks, new_vs)
+            if quant
+            else bb.KVCache(new_k, new_v)
+        )
         new_state = SlotState(
-            cache=bb.KVCache(new_k, new_v),
+            cache=new_cache,
             token=nxt,
             lens=lens,
             prompt_lens=state.prompt_lens,
