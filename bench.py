@@ -20,7 +20,8 @@ import json
 import sys
 import time
 
-BASELINE_TOK_S = 16_194.0
+# reference README.md:64 — vLLM batched decode on an RTX 4090
+BASELINES = {"air": 16_194.0, "nano": 19_268.0, "tiny": 16_194.0}
 
 
 def main() -> None:
@@ -102,7 +103,7 @@ def main() -> None:
                 "metric": f"decode_tokens_per_s_per_chip_{args.model}",
                 "value": round(tok_s, 1),
                 "unit": "tok/s",
-                "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+                "vs_baseline": round(tok_s / BASELINES[args.model], 3),
             }
         )
     )

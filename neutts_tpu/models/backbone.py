@@ -188,13 +188,38 @@ def _attend(
     return out.reshape(B, S, H, Dh)
 
 
+PREFILL_Q_CHUNK = 256  # query-chunked prefill: bounds the S x S score buffer
+
+
 def _attend_block(
     q: jax.Array,  # [B, S, n_heads, Dh] — queries over the new block
     k: jax.Array,  # [B, S, n_kv, Dh]
     v: jax.Array,  # [B, S, n_kv, Dh]
     mask: jax.Array,  # [B, S, S] bool (True = attend), causal within block
 ) -> jax.Array:
-    """Self-attention within a block (prefill / training). [B, S, n_heads, Dh]."""
+    """Self-attention within a block (prefill / training). [B, S, n_heads, Dh].
+
+    For long blocks the query axis is processed in chunks (lax.map) so the
+    materialized scores are [B, H, chunk, S] instead of [B, H, S, S] —
+    without this, prefill at B=512/S=512 peaks at ~7.5 GB of scores and is
+    the batch-size limiter.
+    """
+    B, S, H, Dh = q.shape
+    C = PREFILL_Q_CHUNK
+    if S > C and S % C == 0:
+        def one(i):
+            qc = lax.dynamic_slice_in_dim(q, i * C, C, 1)
+            mc = lax.dynamic_slice_in_dim(mask, i * C, C, 1)
+            return _attend_block_dense(qc, k, v, mc)
+
+        parts = lax.map(one, jnp.arange(S // C))  # [n, B, C, H, Dh]
+        return jnp.moveaxis(parts, 0, 1).reshape(B, S, H, Dh)
+    return _attend_block_dense(q, k, v, mask)
+
+
+def _attend_block_dense(
+    q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array
+) -> jax.Array:
     B, S, H, Dh = q.shape
     K = k.shape[2]
     G = H // K
