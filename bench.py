@@ -38,6 +38,11 @@ def main() -> None:
 
     import jax
 
+    try:  # persistent compile cache: repeat runs skip 30-60s XLA compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/neutts_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

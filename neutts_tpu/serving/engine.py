@@ -92,8 +92,13 @@ class Engine:
         return out
 
     def step(self) -> None:
-        """One engine tick: admit into free slots, decode one segment, retire."""
-        self._admit()
+        """One engine tick: admit into free slots, decode one segment, retire.
+
+        Host<->device syncs are expensive (30 ms+ over remote-tunnel TPU
+        backends), so the tick does exactly ONE readback: admissions enqueue
+        async and their first tokens ride along with the segment results.
+        """
+        newly = self._admit()
         if not any(r is not None for r in self._slot_req):
             return
         self.state, outs = batching.decode_steps(
@@ -104,8 +109,18 @@ class Engine:
             self.params,
             self.state,
         )
-        outs = np.asarray(outs)  # [B, n_steps]
-        active = np.asarray(self.state.active)
+        outs, active, first_tokens = jax.device_get(
+            (outs, self.state.active, self._pending_first)
+        )
+        self._pending_first = None
+        # record admission-time first tokens (sampled inside prefill_slot)
+        for slot, req in newly:
+            t = int(first_tokens[slot])
+            if t != self.eos_id:
+                req.tokens.append(t)
+            if t == self.eos_id or len(req.tokens) >= req.max_new:
+                req.done = True
+                self._retire(slot)
         for slot, req in enumerate(self._slot_req):
             if req is None:
                 continue
@@ -131,7 +146,11 @@ class Engine:
 
     # --- internals ------------------------------------------------------------
 
-    def _admit(self) -> None:
+    def _admit(self):
+        """Prefill queued requests into free slots WITHOUT host syncs; the
+        sampled first tokens are read back with the tick's single readback.
+        Returns [(slot, request)] for this tick's admissions."""
+        newly = []
         for slot in range(self.n_slots):
             if self._slot_req[slot] is not None or not self._queue:
                 continue
@@ -148,18 +167,12 @@ class Engine:
                 jnp.int32(len(req.prompt_ids)),
                 jnp.int32(slot),
             )
-            first = int(self.state.token[slot])
-            if first != self.eos_id:
-                req.tokens.append(first)
-            if first == self.eos_id or len(req.tokens) >= req.max_new:
-                req.done = True
-                self._finished.append(req)
-                self.state = self.state._replace(
-                    active=self.state.active.at[slot].set(False),
-                    lens=self.state.lens.at[slot].set(0),
-                )
-            else:
-                self._slot_req[slot] = req
+            self._slot_req[slot] = req
+            newly.append((slot, req))
+        # materialize a separate buffer: decode_steps donates the state, so
+        # holding state.token itself would read a deleted array
+        self._pending_first = self.state.token + 0
+        return newly
 
     def _retire(self, slot: int, deactivate: bool = True) -> None:
         req = self._slot_req[slot]
