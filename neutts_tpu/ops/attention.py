@@ -32,7 +32,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_T = 512  # cache-time tile per DMA; 2048 / 512 = 4 max trips
+BLOCK_T = 1024  # cache-time tile per DMA; single-trip up to 1024 ctx
+# Tuning notes (v5e, B=512, Air geometry, int8 cache): per-chunk issue+compute
+# overhead is ~3-4 us, so chunks want >= 4 MB of DMA to stay bandwidth-bound.
+# block_t=1024/row_block=16 measures 5.9 ms/step at ctx 1024 (DMA floor 5.6)
+# and 11.1 ms at ctx 2048; block_t=512 variants are overhead-bound (~10 ms).
 
 
 def _kernel(
@@ -50,47 +54,61 @@ def _kernel(
 ):
     if quantized:
         (q_ref, k_hbm, v_hbm, ks_ref, vs_ref, o_ref,
-         k_buf, v_buf, acc_ref, m_ref, l_ref, sem) = refs
+         k_buf, v_buf, acc_ref, m_ref, l_ref, cnt_ref, sem) = refs
     else:
         (q_ref, k_hbm, v_hbm, o_ref,
-         k_buf, v_buf, acc_ref, m_ref, l_ref, sem) = refs
+         k_buf, v_buf, acc_ref, m_ref, l_ref, cnt_ref, sem) = refs
         ks_ref = vs_ref = None
 
     tile = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
     layer = layer_ref[0]
     b0 = tile * row_block
 
     # Shared trip count for the row tile (rows in a decode batch share
     # cur_index, so lens are equal; the max covers ragged callers too).
-    n_max = lens_ref[b0]
-    for r in range(1, row_block):
-        n_max = jnp.maximum(n_max, lens_ref[b0 + r])
-    n_blocks = lax.div(n_max + block_t - 1, block_t)
+    def tile_blocks(t):
+        n_max = lens_ref[t * row_block]
+        for r in range(1, row_block):
+            n_max = jnp.maximum(n_max, lens_ref[t * row_block + r])
+        return lax.div(n_max + block_t - 1, block_t)
 
-    def dmas(slot, blk, r):
+    n_blocks = tile_blocks(tile)
+
+    def dmas(slot, t, blk):
+        # one strided DMA per buffer covering all row_block rows of tile t —
+        # issuing 2 large copies per chunk instead of 2*row_block small ones
+        # keeps the DMA engines streaming
         ds = pl.ds(blk * block_t, block_t)
+        rows = pl.ds(t * row_block, row_block)
         return [
             pltpu.make_async_copy(
-                k_hbm.at[layer, b0 + r, ds, :], k_buf.at[slot, r],
-                sem.at[slot, 0 * row_block + r],
+                k_hbm.at[layer, rows, ds, :], k_buf.at[slot], sem.at[slot, 0]
             ),
             pltpu.make_async_copy(
-                v_hbm.at[layer, b0 + r, ds, :], v_buf.at[slot, r],
-                sem.at[slot, 1 * row_block + r],
+                v_hbm.at[layer, rows, ds, :], v_buf.at[slot], sem.at[slot, 1]
             ),
         ]
 
-    def start_dma(slot, blk):
-        for r in range(row_block):
-            for d in dmas(slot, blk, r):
-                d.start()
+    def start_dma(slot, t, blk):
+        for d in dmas(slot, t, blk):
+            d.start()
 
-    def wait_dma(slot, blk):
-        for r in range(row_block):
-            for d in dmas(slot, blk, r):
-                d.wait()
+    def wait_dma(slot, t, blk):
+        for d in dmas(slot, t, blk):
+            d.wait()
 
-    start_dma(0, 0)
+    # Cross-program software pipeline: scratch, semaphores, and the SMEM chunk
+    # counter persist across sequential grid programs on the TensorCore, so
+    # each chunk's DMA is issued one chunk AHEAD (possibly by the previous
+    # program). Without this, single-trip tiles (ctx <= block_t) would
+    # serialize DMA and compute program-by-program — measured ~40% of kernel
+    # time at B=512/ctx=1024.
+    @pl.when(tile == 0)
+    def _():
+        cnt_ref[0] = 0
+        start_dma(0, 0, 0)
+
     acc_ref[:] = jnp.zeros_like(acc_ref)
     m_ref[:] = jnp.full_like(m_ref, -1e30)
     l_ref[:] = jnp.zeros_like(l_ref)
@@ -98,13 +116,19 @@ def _kernel(
     scale = head_dim**-0.5
 
     def body(blk, _):
-        slot = lax.rem(blk, 2)
+        chunk = cnt_ref[0]
+        slot = lax.rem(chunk, 2)
+        cnt_ref[0] = chunk + 1
 
         @pl.when(blk + 1 < n_blocks)
         def _():
-            start_dma(1 - slot, blk + 1)
+            start_dma(1 - slot, tile, blk + 1)
 
-        wait_dma(slot, blk)
+        @pl.when((blk + 1 == n_blocks) & (tile + 1 < n_tiles))
+        def _():
+            start_dma(1 - slot, tile + 1, 0)
+
+        wait_dma(slot, tile, blk)
 
         t1d = blk * block_t + jax.lax.broadcasted_iota(
             jnp.int32, (n_kv * group, block_t), 1
@@ -184,7 +208,7 @@ def decode_attention_stacked(
     v_scale: jax.Array | None = None,
     *,
     block_t: int = BLOCK_T,
-    row_block: int = 8,
+    row_block: int = 16,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused flash-decode attention on one layer of the stacked cache.
@@ -235,7 +259,8 @@ def decode_attention_stacked(
         pltpu.VMEM((rb, K * G, D), jnp.float32),
         pltpu.VMEM((rb, K * G, 128), jnp.float32),
         pltpu.VMEM((rb, K * G, 128), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 2 * rb)),
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SemaphoreType.DMA((2, 2)),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
