@@ -104,13 +104,18 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
 
 
-def _logits(cfg: BackboneConfig, params: Params, x: jax.Array) -> jax.Array:
-    """LM head on the REAL vocab only: the embedding rows are padded to a
-    lane multiple for the gather path, but slicing the head to vocab_size
-    avoids both computing pad logits and the [B, V] -inf mask pass that
-    would otherwise be needed to keep pad ids unsampleable."""
+def _logits(
+    cfg: BackboneConfig, params: Params, x: jax.Array, trim: bool = True
+) -> jax.Array:
+    """LM head. With trim=True the head is sliced to the REAL vocab — exact
+    [B, vocab_size] logits for training/parity. trim=False keeps the padded
+    (lane-aligned) width: the unaligned vocab_size slice forces XLA to copy
+    and re-tile the 390 MB head matrix every decode step (~0.5 ms at B=512),
+    so the hot decode loops use the padded head and instead mask pad ids
+    among the top-k CANDIDATES (ops/sampling.py, vocab_size arg)."""
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    head = head[:, : cfg.vocab_size]
+    if trim:
+        head = head[:, : cfg.vocab_size]
     return jnp.dot(x, head, preferred_element_type=jnp.float32)
 
 
@@ -351,8 +356,13 @@ def decode_step(
     cache: KVCache,
     cur_index: jax.Array,  # scalar int32 — cache slot to write (= Lp + step)
     pad: jax.Array,  # [B] int32 — left-pad amounts from prefill
+    trim_logits: bool = True,
 ) -> Tuple[jax.Array, KVCache]:
-    """One AR decode step: returns (logits [B, V], new cache)."""
+    """One AR decode step: returns (logits [B, V], new cache).
+
+    trim_logits=False returns padded-vocab logits (see `_logits`); pair it
+    with the `vocab_size` argument of the sampling ops.
+    """
     from neutts_tpu.ops import attention as attn_ops
 
     B = token.shape[0]
@@ -416,7 +426,7 @@ def decode_step(
         (params["layers"], layer_ids),
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = _logits(cfg, params, x[:, 0, :])
+    logits = _logits(cfg, params, x[:, 0, :], trim=trim_logits)
     if quant:
         return logits, KVCache(new_k, new_v, new_ks, new_vs)
     return logits, KVCache(k=new_k, v=new_v)

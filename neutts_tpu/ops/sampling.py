@@ -20,13 +20,14 @@ from neutts_tpu.config import SamplingConfig
 
 
 def sample_tokens(
-    logits: jax.Array,  # [B, V] f32
+    logits: jax.Array,  # [B, V] f32 (V may be the padded vocab — see vocab_size)
     key: jax.Array,
     *,
     temperature: float = 1.0,
     top_k: int = 50,
     greedy: bool = False,
     exact_topk: bool = False,
+    vocab_size: int | None = None,
 ) -> jax.Array:
     """Sample one token per row. Greedy mode is exact argmax (parity gates).
 
@@ -35,13 +36,22 @@ def sample_tokens(
     entire 360M-param forward — while the TPU-native approximate variant is
     ~free at recall 0.95 (indistinguishable for top-50 sampling from a peaked
     softmax). Pass exact_topk=True for strict HF-parity experiments.
+
+    vocab_size: when the logits carry padded-vocab columns (decode fast path,
+    backbone._logits trim=False), ids >= vocab_size are masked among the
+    top-k candidates — a [B, k] op instead of a full-vocab mask pass.
     """
+    padded = vocab_size is not None and logits.shape[-1] > vocab_size
     if greedy:
+        if padded:
+            logits = logits[:, :vocab_size]
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if exact_topk:
         vals, idx = lax.top_k(logits, top_k)  # [B, k]
     else:
         vals, idx = lax.approx_max_k(logits, top_k)
+    if padded:
+        vals = jnp.where(idx >= vocab_size, -jnp.inf, vals)
     vals = vals / jnp.maximum(temperature, 1e-6)
     g = jax.random.gumbel(key, vals.shape, vals.dtype)
     choice = jnp.argmax(vals + g, axis=-1)  # [B]
@@ -87,16 +97,21 @@ def apply_sampling_config(
 
 
 def sample_step(
-    logits: jax.Array,  # [B, V] f32 (real vocab only)
+    logits: jax.Array,  # [B, V] f32 (padded vocab ok — see vocab_size)
     key: jax.Array,
     cfg: SamplingConfig,
     eos_id: int,
     suppress_eos,  # bool scalar or [B] — True while min_new_tokens unmet
+    vocab_size: int | None = None,
 ) -> jax.Array:
-    """Decode-loop sampling with EOS suppression applied on the top-k
-    CANDIDATES (one [B, k] op) instead of the full [B, V] logit row —
-    saves a full-vocab copy per step."""
+    """Decode-loop sampling with EOS suppression (and pad-vocab masking, when
+    `vocab_size` is given for padded logits) applied on the top-k CANDIDATES
+    (one [B, k] op) instead of the full [B, V] logit row — saves a
+    full-vocab copy per step."""
+    padded = vocab_size is not None and logits.shape[-1] > vocab_size
     if cfg.greedy:
+        if padded:
+            logits = logits[:, :vocab_size]
         col = jnp.where(suppress_eos, -jnp.inf, logits[:, eos_id])
         return jnp.argmax(logits.at[:, eos_id].set(col), axis=-1).astype(jnp.int32)
     if cfg.exact_topk:
@@ -104,7 +119,10 @@ def sample_step(
     else:
         vals, idx = lax.approx_max_k(logits, cfg.top_k)
     sup = jnp.broadcast_to(jnp.asarray(suppress_eos), (logits.shape[0],))
-    vals = jnp.where((idx == eos_id) & sup[:, None], -jnp.inf, vals)
+    bad = (idx == eos_id) & sup[:, None]
+    if padded:
+        bad = bad | (idx >= vocab_size)
+    vals = jnp.where(bad, -jnp.inf, vals)
     vals = vals / jnp.maximum(cfg.temperature, 1e-6)
     g = jax.random.gumbel(key, vals.shape, vals.dtype)
     choice = jnp.argmax(vals + g, axis=-1)

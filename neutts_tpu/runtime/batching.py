@@ -216,13 +216,15 @@ def decode_steps(
             (params["layers"], layer_ids),
         )
         x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        logits = bb._logits(cfg, params, x[:, 0, :])  # [B, V]
+        logits = bb._logits(cfg, params, x[:, 0, :], trim=False)  # [B, Vpad]
 
         n_generated = lens_new - state.prompt_lens  # incl. the token being fed
         suppress = n_generated < sampling.min_new_tokens
 
         kstep, key = jax.random.split(state.key)
-        nxt = smp.sample_step(logits, kstep, sampling, eos_id, suppress)
+        nxt = smp.sample_step(
+            logits, kstep, sampling, eos_id, suppress, vocab_size=cfg.vocab_size
+        )
         in_ctx = lens_new < T
         nxt = jnp.where(state.active & in_ctx, nxt, eos_id)
         new_active = state.active & (nxt != eos_id) & in_ctx

@@ -67,7 +67,8 @@ def _generate_impl(
 
     def sample(logits, step, key):
         return smp.sample_step(
-            logits, key, sampling, eos_id, step < sampling.min_new_tokens
+            logits, key, sampling, eos_id, step < sampling.min_new_tokens,
+            vocab_size=cfg.vocab_size,
         )
 
     k0, key = jax.random.split(key)
@@ -93,7 +94,9 @@ def _generate_impl(
 
     def body(s: _LoopState):
         cur_index = Lp + s.step - 1  # cache slot for the token we feed in
-        logits, cache = bb.decode_step(cfg, params, s.token, s.cache, cur_index, pad)
+        logits, cache = bb.decode_step(
+            cfg, params, s.token, s.cache, cur_index, pad, trim_logits=False
+        )
         kstep, key = jax.random.split(s.key)
         nxt = sample(logits, s.step, kstep)
         nxt = jnp.where(s.done, eos_id, nxt)
@@ -247,10 +250,13 @@ def decode_segment(
         s, out = carry
         cur_index = s.prompt_end + s.step - 1
         in_ctx = cur_index < cfg.max_context - 1
-        logits, cache = bb.decode_step(cfg, params, s.token, s.cache, cur_index, s.pad)
+        logits, cache = bb.decode_step(
+            cfg, params, s.token, s.cache, cur_index, s.pad, trim_logits=False
+        )
         kstep, key = jax.random.split(s.key)
         nxt = smp.sample_step(
-            logits, kstep, sampling, eos_id, s.step < sampling.min_new_tokens
+            logits, kstep, sampling, eos_id, s.step < sampling.min_new_tokens,
+            vocab_size=cfg.vocab_size,
         )
         nxt = jnp.where(s.done | ~in_ctx, eos_id, nxt)
         out = lax.dynamic_update_slice(out, nxt[:, None], (0, i))
