@@ -1,8 +1,16 @@
 """Shared helpers for the example CLIs."""
 
+import os
+import sys
 from pathlib import Path
 
 import numpy as np
+
+# make `python examples/foo.py` work from a source checkout without
+# installation: the repo root is the parent of this file's directory
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def read_text_arg(value: str) -> str:

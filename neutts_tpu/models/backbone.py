@@ -193,7 +193,9 @@ def _attend(
     return out.reshape(B, S, H, Dh)
 
 
-PREFILL_Q_CHUNK = 256  # query-chunked prefill: bounds the S x S score buffer
+PREFILL_Q_CHUNK = 128  # query-chunked prefill: bounds the S x S score buffer
+# (128 keeps the [B, H, chunk, S] scores under 2 GB at B=512/S=512 — at 256
+# the 3.7 GB score buffer OOMed 512-slot serving configs during admission)
 
 
 def _attend_block(

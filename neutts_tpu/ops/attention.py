@@ -32,11 +32,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_T = 1024  # cache-time tile per DMA; single-trip up to 1024 ctx
-# Tuning notes (v5e, B=512, Air geometry, int8 cache): per-chunk issue+compute
-# overhead is ~3-4 us, so chunks want >= 4 MB of DMA to stay bandwidth-bound.
-# block_t=1024/row_block=16 measures 5.9 ms/step at ctx 1024 (DMA floor 5.6)
-# and 11.1 ms at ctx 2048; block_t=512 variants are overhead-bound (~10 ms).
+BLOCK_T = 512  # cache-time tile per DMA (dynamic trip count over live prefix)
+# Tuning notes (v5e, B=512, Air geometry, int8 cache, vectorized softmax):
+# ms/step for 24 layers — ctx 512: 3.5, ctx 1024: 5.3, ctx 2048: 9.9 at
+# block_t=512/row_block=16 — all within ~15% of the measured DMA floor
+# (~570-650 GB/s). Before the cross-row softmax vectorization the per-chunk
+# VPU/issue overhead (~7 us vs 3.5 us of DMA) made block_t=512 overhead-bound
+# and forced 1024-blocks with up-to-2x cache over-read.
 
 
 def _kernel(
@@ -54,10 +56,12 @@ def _kernel(
 ):
     if quantized:
         (q_ref, k_hbm, v_hbm, ks_ref, vs_ref, o_ref,
-         k_buf, v_buf, acc_ref, m_ref, l_ref, cnt_ref, sem) = refs
+         k_buf, v_buf, s_ref, p_ref, acc_ref, m_ref, l_ref, lp_ref,
+         cnt_ref, sem) = refs
     else:
         (q_ref, k_hbm, v_hbm, o_ref,
-         k_buf, v_buf, acc_ref, m_ref, l_ref, cnt_ref, sem) = refs
+         k_buf, v_buf, s_ref, p_ref, acc_ref, m_ref, l_ref, lp_ref,
+         cnt_ref, sem) = refs
         ks_ref = vs_ref = None
 
     tile = pl.program_id(0)
@@ -113,7 +117,19 @@ def _kernel(
     m_ref[:] = jnp.full_like(m_ref, -1e30)
     l_ref[:] = jnp.zeros_like(l_ref)
 
-    scale = head_dim**-0.5
+    KG = n_kv * group
+    RKG = row_block * KG
+    # per-program row bounds, broadcast once to [RKG, 1] so the mask/softmax
+    # runs as ONE vectorized op over all rows (the per-row [KG, BT] chain was
+    # issue-bound: ~7 us/chunk of VPU+MXU latency vs 3.5 us of DMA at
+    # block_t=512, which forced oversized blocks and cache over-read)
+    for r in range(row_block):
+        lp_ref[r * KG : (r + 1) * KG, 0:1] = jnp.full(
+            (KG, 1), lens_ref[b0 + r], jnp.int32
+        )
+        lp_ref[r * KG : (r + 1) * KG, 1:2] = jnp.full(
+            (KG, 1), pad_ref[b0 + r], jnp.int32
+        )
 
     def body(blk, _):
         chunk = cnt_ref[0]
@@ -130,70 +146,68 @@ def _kernel(
 
         wait_dma(slot, tile, blk)
 
-        t1d = blk * block_t + jax.lax.broadcasted_iota(
-            jnp.int32, (n_kv * group, block_t), 1
-        )
+        # scores for every row of the tile into one [RKG, BT] scratch.
+        # q_ref rows hold BLOCK-DIAGONAL queries [KG, K*D] (head h's q in
+        # feature block h, zeros elsewhere, pre-scaled by head_dim**-0.5), so
+        # one [KG,KD]x[KD,BT] dot yields every head's scores at once.
         for r in range(row_block):
-            # q_ref holds BLOCK-DIAGONAL queries [KG, K*D]: row kg has its
-            # head's q in that head's feature block and zeros elsewhere, so a
-            # single [KG,KD]x[KD,BT] dot yields every head's scores at once
-            # (the zero blocks annihilate cross-head terms).
-            qbd = q_ref[r].astype(jnp.float32)  # [KG, KD]
-            k = k_buf[slot, r]  # [BT, KD]
-            v = v_buf[slot, r]
-
-            sc = jax.lax.dot_general(
-                qbd,
-                k.astype(jnp.float32),
+            s_ref[r * KG : (r + 1) * KG, :] = jax.lax.dot_general(
+                q_ref[r].astype(jnp.float32),
+                k_buf[slot, r].astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale  # [KG, BT]
-            if quantized:
-                # fold the per-token K scale into the scores (scales arrive
-                # as a BlockSpec-pipelined [1, RB, T] VMEM input)
-                sc = sc * ks_ref[0, r : r + 1, pl.ds(blk * block_t, block_t)]
-            valid = (t1d < lens_ref[b0 + r]) & (t1d >= pad_ref[b0 + r])
-            sc = jnp.where(valid, sc, -1e30)
-
-            m_blk = jnp.max(sc, axis=1, keepdims=True)  # [KG, 1]
-            m_old = m_ref[r, :, :1]
-            m_new = jnp.maximum(m_old, m_blk)
-            alpha = jnp.exp(m_old - m_new)
-            pexp = jnp.exp(sc - m_new)  # [KG, BT]
-            l_ref[r, :, :1] = l_ref[r, :, :1] * alpha + jnp.sum(
-                pexp, axis=1, keepdims=True
             )
-            m_ref[r, :, :1] = m_new
 
-            if quantized:
-                # fold the per-token V scale into the probabilities
-                pexp = pexp * vs_ref[0, r : r + 1, pl.ds(blk * block_t, block_t)]
-                pdt = jnp.bfloat16
-            else:
-                pdt = v.dtype
-            pv_heads = []
-            for h in range(n_kv):
-                ph = pexp[h * group : (h + 1) * group, :]
-                vh = v[:, h * head_dim : (h + 1) * head_dim]
-                if quantized:
-                    vh = vh.astype(jnp.bfloat16)  # int8 values are exact in bf16
-                pv_heads.append(
-                    jax.lax.dot_general(
-                        ph.astype(pdt),
-                        vh,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )
-            pv = jnp.concatenate(pv_heads, axis=0)  # [KG, D]
-            acc_ref[r] = acc_ref[r] * alpha + pv
+        sc = s_ref[:]  # [RKG, BT]
+        if quantized:
+            # fold the per-token K scale into the scores (scales arrive as a
+            # BlockSpec-pipelined [1, RB, T] VMEM input), broadcast over KG
+            ksb = ks_ref[0, :, pl.ds(blk * block_t, block_t)]  # [RB, BT]
+            sc = sc * jnp.broadcast_to(
+                ksb[:, None, :], (row_block, KG, block_t)
+            ).reshape(RKG, block_t)
+        t1d = blk * block_t + jax.lax.broadcasted_iota(
+            jnp.int32, (RKG, block_t), 1
+        )
+        valid = (t1d < lp_ref[:, 0:1]) & (t1d >= lp_ref[:, 1:2])
+        sc = jnp.where(valid, sc, -1e30)
+
+        # one online-softmax update across all rows
+        m_blk = jnp.max(sc, axis=1, keepdims=True)  # [RKG, 1]
+        m_old = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_old, m_blk)
+        alpha = jnp.exp(m_old - m_new)  # [RKG, 1]
+        pexp = jnp.exp(sc - m_new)
+        l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(pexp, axis=1, keepdims=True)
+        m_ref[:, 0:1] = m_new
+        if quantized:
+            vsb = vs_ref[0, :, pl.ds(blk * block_t, block_t)]
+            pexp = pexp * jnp.broadcast_to(
+                vsb[:, None, :], (row_block, KG, block_t)
+            ).reshape(RKG, block_t)
+        p_ref[:] = pexp.astype(p_ref.dtype)
+
+        # one pv dot per row over ALL kv heads' lanes [KG,BT]x[BT,K*D]; the
+        # matching head block is selected once at program end
+        for r in range(row_block):
+            pv = jax.lax.dot_general(
+                p_ref[r * KG : (r + 1) * KG, :],
+                v_buf[slot, r].astype(p_ref.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [KG, K*D]
+            acc_ref[r] = acc_ref[r] * alpha[r * KG : (r + 1) * KG, :] + pv
         return 0
 
     lax.fori_loop(0, n_blocks, body, 0)
     for r in range(row_block):
-        o_ref[r] = (
-            acc_ref[r] / jnp.maximum(l_ref[r, :, :1], 1e-30)
-        ).astype(o_ref.dtype)
+        norm = jnp.maximum(l_ref[r * KG : (r + 1) * KG, 0:1], 1e-30)
+        for h in range(n_kv):
+            o_ref[r, h * group : (h + 1) * group, :] = (
+                acc_ref[r, h * group : (h + 1) * group,
+                        h * head_dim : (h + 1) * head_dim]
+                / norm[h * group : (h + 1) * group]
+            ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_t", "row_block", "interpret"))
@@ -255,10 +269,14 @@ def decode_attention_stacked(
             pl.BlockSpec((1, rb, T), scale_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rb, T), scale_map, memory_space=pltpu.VMEM),
         ]
+    p_dtype = jnp.bfloat16 if quant else all_v.dtype
     scratch += [
-        pltpu.VMEM((rb, K * G, D), jnp.float32),
-        pltpu.VMEM((rb, K * G, 128), jnp.float32),
-        pltpu.VMEM((rb, K * G, 128), jnp.float32),
+        pltpu.VMEM((rb * K * G, block_t), jnp.float32),  # scores
+        pltpu.VMEM((rb * K * G, block_t), p_dtype),  # probabilities
+        pltpu.VMEM((rb, K * G, K * D), jnp.float32),  # pv accumulator
+        pltpu.VMEM((rb * K * G, 128), jnp.float32),  # m (running max)
+        pltpu.VMEM((rb * K * G, 128), jnp.float32),  # l (running sum)
+        pltpu.VMEM((rb * K * G, 128), jnp.int32),  # len/pad row vectors
         pltpu.SMEM((1,), jnp.int32),
         pltpu.SemaphoreType.DMA((2, 2)),
     ]
@@ -277,11 +295,12 @@ def decode_attention_stacked(
         quantized=quant,
     )
     # block-diagonal query layout: [B, KG, K*D] with head h's q occupying
-    # feature block h (zeros elsewhere) — one dot per row per cache block
-    qf = q.reshape(B, K * G, D)
-    qbd = jnp.zeros((B, K, G, K, D), qf.dtype)
+    # feature block h (zeros elsewhere) — one dot per row per cache block.
+    # head_dim**-0.5 is folded in here so the kernel skips the score scaling.
+    qs = (q.astype(jnp.float32) * (D**-0.5)).astype(q.dtype)
+    qbd = jnp.zeros((B, K, G, K, D), q.dtype)
     for h in range(K):
-        qbd = qbd.at[:, h, :, h, :].set(q[:, h])
+        qbd = qbd.at[:, h, :, h, :].set(qs[:, h])
     qbd = qbd.reshape(B, K * G, K * D)
 
     operands = [

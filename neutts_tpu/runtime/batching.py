@@ -134,6 +134,99 @@ def prefill_slot(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cfg", "sampling", "eos_id"),
+    donate_argnums=(4,),  # slot state (KV cache) updates in place
+)
+def prefill_slots(
+    cfg: BackboneConfig,
+    sampling: SamplingConfig,
+    eos_id: int,
+    params,
+    state: SlotState,
+    tokens: jax.Array,  # [G, Lp] int32, RIGHT-padded to a bucket
+    true_lens: jax.Array,  # [G] int32
+    slots: jax.Array,  # [G] int32 — target slots; duplicates must carry
+    #                    identical rows (the engine pads a partial group by
+    #                    repeating its last admission — an idempotent write)
+) -> SlotState:
+    """Admit a GROUP of requests in one jitted call: one batched prefill
+    forward (vs the per-request `prefill_slot`, which runs the backbone at
+    batch 1 and costs one host->device dispatch per admission — the dominant
+    serving overhead at high slot counts)."""
+    G, Lp = tokens.shape
+    idx = jnp.arange(Lp, dtype=jnp.int32)
+    positions = idx[None, :]
+    mask = (idx[None, None, :] <= idx[None, :, None]) & (
+        idx[None, None, :] < true_lens[:, None, None]
+    )  # [G, Lp, Lp]
+    cos, sin = bb.rope_tables(cfg.head_dim, cfg.rope_theta, positions)
+    x = params["embed"].astype(jnp.dtype(cfg.dtype))[tokens]
+
+    quant = state.cache.quantized
+
+    def body(carry, lp_l):
+        x, all_k, all_v, ks, vs = carry
+        lp, l = lp_l
+        x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask)
+        kf = k.reshape(G, Lp, -1)
+        vf = v.reshape(G, Lp, -1)
+        if quant:
+            kq, ksc = bb.quantize_kv(kf)
+            vq, vsc = bb.quantize_kv(vf)
+            all_k = all_k.at[l, slots, :Lp, :].set(kq)
+            all_v = all_v.at[l, slots, :Lp, :].set(vq)
+            ks = ks.at[l, slots, :Lp].set(ksc)
+            vs = vs.at[l, slots, :Lp].set(vsc)
+        else:
+            all_k = all_k.at[l, slots, :Lp, :].set(kf.astype(all_k.dtype))
+            all_v = all_v.at[l, slots, :Lp, :].set(vf.astype(all_v.dtype))
+        return (x, all_k, all_v, ks, vs), None
+
+    layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    dummy = jnp.zeros((), jnp.float32)
+    (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
+        body,
+        (x, state.cache.k, state.cache.v,
+         state.cache.k_scale if quant else dummy,
+         state.cache.v_scale if quant else dummy),
+        (params["layers"], layer_ids),
+    )
+    x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    last = jnp.take_along_axis(x, (true_lens - 1)[:, None, None], axis=1)[:, 0, :]
+    logits = bb._logits(cfg, params, last, trim=False)  # [G, Vpad]
+    k0, key = jax.random.split(state.key)
+    first = smp.sample_step(
+        logits, k0, sampling, eos_id,
+        jnp.int32(0) < sampling.min_new_tokens, vocab_size=cfg.vocab_size,
+    )  # [G]
+    new_cache = (
+        bb.KVCache(new_k, new_v, new_ks, new_vs) if quant else bb.KVCache(new_k, new_v)
+    )
+    return SlotState(
+        cache=new_cache,
+        token=state.token.at[slots].set(first),
+        lens=state.lens.at[slots].set(true_lens),
+        prompt_lens=state.prompt_lens.at[slots].set(true_lens),
+        active=state.active.at[slots].set(first != eos_id),
+        key=key,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0,),
+)
+def retire_slots(state: SlotState, retire_mask: jax.Array) -> SlotState:
+    """Deactivate a batch of slots in ONE device op (the engine previously
+    issued two `.at[slot].set` dispatches per retirement)."""
+    return state._replace(
+        active=state.active & ~retire_mask,
+        lens=jnp.where(retire_mask, 0, state.lens),
+    )
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "sampling", "eos_id", "n_steps"),
     donate_argnums=(5,),  # slot state (KV cache) updates in place
 )

@@ -113,30 +113,28 @@ class Engine:
             (outs, self.state.active, self._pending_first)
         )
         self._pending_first = None
-        # record admission-time first tokens (sampled inside prefill_slot)
+        retire: List[int] = []
+        # record admission-time first tokens (sampled inside prefill_slots)
         for slot, req in newly:
             t = int(first_tokens[slot])
             if t != self.eos_id:
                 req.tokens.append(t)
             if t == self.eos_id or len(req.tokens) >= req.max_new:
                 req.done = True
-                self._retire(slot)
+                retire.append(slot)
+        outs = np.asarray(outs)
         for slot, req in enumerate(self._slot_req):
-            if req is None:
+            if req is None or req.done:
                 continue
-            for t in outs[slot]:
-                t = int(t)
-                if t == self.eos_id:
-                    req.done = True
-                    break
-                req.tokens.append(t)
-                if len(req.tokens) >= req.max_new:
-                    req.done = True
-                    break
-            if not active[slot]:
+            row = outs[slot]
+            eos_at = np.flatnonzero(row == self.eos_id)
+            end = int(eos_at[0]) if eos_at.size else len(row)
+            take = min(end, req.max_new - len(req.tokens))
+            req.tokens.extend(row[:take].tolist())
+            if eos_at.size or len(req.tokens) >= req.max_new or not active[slot]:
                 req.done = True
-            if req.done:
-                self._retire(slot)
+                retire.append(slot)
+        self._retire_batch(retire)
 
     def run(self) -> Dict[int, List[int]]:
         """Drain queue + slots; returns {rid: generated tokens (no EOS)}."""
@@ -146,43 +144,82 @@ class Engine:
 
     # --- internals ------------------------------------------------------------
 
+    # admission group sizes: largest-fit-first bounds both the number of
+    # jitted prefill variants (4 per prompt bucket) and the padding waste on
+    # steady-state drip admissions (1-2 freed slots per tick). Each grouped
+    # prefill is one host->device dispatch (~15-30 ms over a tunneled TPU),
+    # so cold starts / bursts want the 64-wide group.
+    ADMIT_GROUPS = (64, 16, 4, 1)
+
     def _admit(self):
         """Prefill queued requests into free slots WITHOUT host syncs; the
         sampled first tokens are read back with the tick's single readback.
-        Returns [(slot, request)] for this tick's admissions."""
+        Admissions run as GROUPED batched prefills (one jitted call per
+        group) — per-request batch-1 prefills were the dominant serving
+        overhead. Returns [(slot, request)] for this tick's admissions."""
+        free = [s for s in range(self.n_slots) if self._slot_req[s] is None]
         newly = []
-        for slot in range(self.n_slots):
-            if self._slot_req[slot] is not None or not self._queue:
-                continue
+        by_bucket: Dict[int, List[tuple]] = {}
+        for slot in free:
+            if not self._queue:
+                break
             req = self._queue.popleft()
             Lp = min(bucket_length(len(req.prompt_ids)), self.cfg.max_context)
-            padded = req.prompt_ids + [0] * (Lp - len(req.prompt_ids))
-            self.state = batching.prefill_slot(
-                self.cfg,
-                self.sampling,
-                self.eos_id,
-                self.params,
-                self.state,
-                jnp.asarray(padded, jnp.int32),
-                jnp.int32(len(req.prompt_ids)),
-                jnp.int32(slot),
-            )
+            by_bucket.setdefault(Lp, []).append((slot, req))
             self._slot_req[slot] = req
             newly.append((slot, req))
+        for Lp, items in by_bucket.items():
+            i = 0
+            while i < len(items):
+                take = min(max(self.ADMIT_GROUPS), len(items) - i)
+                group = items[i : i + take]
+                i += take
+                G = min(g for g in self.ADMIT_GROUPS if g >= take)
+                # pad a partial group by repeating its last admission — the
+                # duplicate slot indices re-write identical rows (idempotent)
+                group = group + [group[-1]] * (G - len(group))
+                toks = np.zeros((G, Lp), np.int32)
+                lens = np.zeros((G,), np.int32)
+                slots = np.zeros((G,), np.int32)
+                for j, (slot, req) in enumerate(group):
+                    toks[j, : len(req.prompt_ids)] = req.prompt_ids
+                    lens[j] = len(req.prompt_ids)
+                    slots[j] = slot
+                self.state = batching.prefill_slots(
+                    self.cfg,
+                    self.sampling,
+                    self.eos_id,
+                    self.params,
+                    self.state,
+                    jnp.asarray(toks),
+                    jnp.asarray(lens),
+                    jnp.asarray(slots),
+                )
         # materialize a separate buffer: decode_steps donates the state, so
         # holding state.token itself would read a deleted array
         self._pending_first = self.state.token + 0
         return newly
 
+    def _retire_batch(self, slots: List[int]) -> None:
+        if not slots:
+            return
+        for slot in slots:
+            req = self._slot_req[slot]
+            if req is not None:
+                self._finished.append(req)
+                self._slot_req[slot] = None
+        mask = np.zeros((self.n_slots,), bool)
+        mask[slots] = True
+        self.state = batching.retire_slots(self.state, jnp.asarray(mask))
+
     def _retire(self, slot: int, deactivate: bool = True) -> None:
+        """Single-slot retirement (kept for the incremental API)."""
         req = self._slot_req[slot]
         if req is not None:
             self._finished.append(req)
             self._slot_req[slot] = None
-        elif deactivate:
-            pass
         if deactivate:
-            self.state = self.state._replace(
-                active=self.state.active.at[slot].set(False),
-                lens=self.state.lens.at[slot].set(0),
+            self.state = batching.retire_slots(
+                self.state,
+                jnp.asarray(np.eye(1, self.n_slots, slot, dtype=bool)[0]),
             )

@@ -68,3 +68,50 @@ def test_engine_rejects_oversize_prompt(params):
     eng = Engine(CFG, params, eos_id=EOS, n_slots=1)
     with pytest.raises(ValueError):
         eng.submit(list(range(CFG.max_context)))
+
+
+def test_engine_grouped_admission_matches_lockstep(params):
+    """7 requests into 8 slots: one grouped prefill padded with duplicate
+    slot rows (G=16 over 7 real admissions) — results must still be
+    per-request exact vs the lockstep path."""
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=2)
+    eng = Engine(CFG, params, eos_id=EOS, n_slots=8, sampling=scfg, segment_steps=8)
+    prompts = [[3 + i, 7, 2, 9] for i in range(7)]
+    rids = [eng.submit(p, max_new=12) for p in prompts]
+    results = eng.run()
+    for rid, prompt in zip(rids, prompts):
+        assert results[rid] == lockstep_greedy(params, prompt, 12), rid
+
+
+def test_prefill_slots_duplicate_padding_idempotent(params):
+    """prefill_slots with duplicated trailing rows (group padding) must leave
+    the same state as admitting the real rows alone."""
+    from neutts_tpu.runtime import batching
+
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=1)
+    prompts = [[5, 6, 7], [8, 9, 1, 2]]
+    Lp = 8
+
+    def admit(pad_to):
+        state = batching.SlotState.create(CFG, 4, jax.random.PRNGKey(3))
+        group = list(enumerate(prompts))
+        group = group + [group[-1]] * (pad_to - len(group))
+        toks = np.zeros((pad_to, Lp), np.int32)
+        lens = np.zeros((pad_to,), np.int32)
+        slots = np.zeros((pad_to,), np.int32)
+        for j, (slot, p) in enumerate(group):
+            toks[j, : len(p)] = p
+            lens[j] = len(p)
+            slots[j] = slot
+        return batching.prefill_slots(
+            CFG, scfg, EOS, params, state,
+            jnp.asarray(toks), jnp.asarray(lens), jnp.asarray(slots),
+        )
+
+    plain = admit(2)
+    padded = admit(4)
+    np.testing.assert_array_equal(np.asarray(plain.token), np.asarray(padded.token))
+    np.testing.assert_array_equal(np.asarray(plain.lens), np.asarray(padded.lens))
+    np.testing.assert_array_equal(
+        np.asarray(plain.cache.k[:, :2]), np.asarray(padded.cache.k[:, :2])
+    )

@@ -1,0 +1,90 @@
+"""Serving-engine throughput bench (continuous batching) on the TPU chip.
+
+Measures sustained generated-tokens/s and utterances/s for the Engine with
+realistic TTS shapes: ~460-token cloning prompts, ~250 generated codec tokens
+(5 s of audio), Air backbone. This is the apples-to-apples analogue of the
+reference's vLLM RTX-4090 configuration (reference README.md:54, 64).
+
+Usage: python tools/bench_serving.py [--slots 256] [--requests 768]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="air")
+    ap.add_argument("--slots", type=int, default=256)
+    ap.add_argument("--requests", type=int, default=768)
+    ap.add_argument("--prompt-min", type=int, default=380)
+    ap.add_argument("--prompt-max", type=int, default=512)
+    ap.add_argument("--gen", type=int, default=250)
+    ap.add_argument("--segment", type=int, default=32)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/neutts_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from neutts_tpu import config
+    from neutts_tpu.models import backbone as bb
+    from neutts_tpu.serving.engine import Engine
+
+    cfg = config.BY_NAME[args.model].scaled(kv_dtype="int8")
+    layout = cfg.layout
+    params = bb.init_params(cfg, jax.random.PRNGKey(0))
+    params = jax.device_put(params)
+
+    # random model never emits EOS naturally at min_new large; bound by max_new
+    sampling = config.SamplingConfig(min_new_tokens=args.gen + 1)
+    eng = Engine(cfg, params, eos_id=layout.speech_gen_end,
+                 n_slots=args.slots, sampling=sampling,
+                 segment_steps=args.segment, seed=0)
+
+    rng = np.random.default_rng(0)
+    prompts = []
+    for _ in range(args.requests):
+        L = int(rng.integers(args.prompt_min, args.prompt_max + 1))
+        prompts.append(
+            (rng.integers(0, 1000, size=L) + layout.speech_base).tolist()
+        )
+
+    # warmup: compile every admission group size + the decode segment
+    n_warm = min(sum(eng.ADMIT_GROUPS), args.slots, len(prompts))
+    for p in prompts[:n_warm]:
+        eng.submit(p, max_new=2)
+    t0 = time.perf_counter()
+    eng.run()
+    print(f"# warmup (compiles): {time.perf_counter() - t0:.1f}s")
+
+    for p in prompts:
+        eng.submit(p, max_new=args.gen)
+    t0 = time.perf_counter()
+    results = eng.run()
+    dt = time.perf_counter() - t0
+
+    n_tok = sum(len(t) for t in results.values())
+    n_utt = len(results)
+    audio_s = n_tok / 50.0
+    print(
+        f"# {n_utt} utterances, {n_tok} tokens in {dt:.2f}s -> "
+        f"{n_tok/dt:,.0f} gen tok/s, {n_utt/dt:.1f} utt/s, "
+        f"{audio_s/dt:,.0f}x realtime audio"
+    )
+
+
+if __name__ == "__main__":
+    main()
