@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--kv-dtype", default="int8", choices=["int8", "bfloat16"],
                     help="KV cache dtype (int8: per-token-scaled, ~15%% faster, 2x capacity)")
+    ap.add_argument("--logits-dtype", default="bfloat16", choices=["bfloat16", "float32"],
+                    help="decode logits buffer dtype (bf16 halves logit HBM traffic; "
+                    "top-k candidates are upcast to f32 before the gumbel draw)")
     ap.add_argument("--prompt-len", type=int, default=512, help="primed KV length")
     ap.add_argument("--steps", type=int, default=128, help="decode steps per segment")
     ap.add_argument("--segments", type=int, default=4, help="timed segments")
@@ -57,7 +60,9 @@ def main() -> None:
     from neutts_tpu.models import backbone as bb
     from neutts_tpu.runtime import decode as dec
 
-    cfg = config.BY_NAME[args.model].scaled(kv_dtype=args.kv_dtype)
+    cfg = config.BY_NAME[args.model].scaled(
+        kv_dtype=args.kv_dtype, logits_dtype=args.logits_dtype
+    )
     dev = jax.devices()[0]
     print(f"# device: {dev}, model: {cfg.name}, batch: {args.batch}", file=sys.stderr)
 

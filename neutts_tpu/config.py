@@ -110,6 +110,11 @@ class BackboneConfig:
     n_text_tokens: int = QWEN25_TEXT_TOKENS
     dtype: str = "bfloat16"
     kv_dtype: str = "bfloat16"  # "bfloat16" | "int8" (per-token-scaled cache)
+    # dtype of the decode-loop logits buffer (untrimmed LM-head path only).
+    # bf16 halves the [B, 217k] logit HBM traffic; top-k candidates are
+    # upcast to f32 before sampling. Greedy parity gates use the trimmed f32
+    # path regardless.
+    logits_dtype: str = "float32"
 
     @property
     def layout(self) -> TokenLayout:

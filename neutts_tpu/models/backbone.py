@@ -108,15 +108,19 @@ def _logits(
     cfg: BackboneConfig, params: Params, x: jax.Array, trim: bool = True
 ) -> jax.Array:
     """LM head. With trim=True the head is sliced to the REAL vocab — exact
-    [B, vocab_size] logits for training/parity. trim=False keeps the padded
-    (lane-aligned) width: the unaligned vocab_size slice forces XLA to copy
-    and re-tile the 390 MB head matrix every decode step (~0.5 ms at B=512),
-    so the hot decode loops use the padded head and instead mask pad ids
-    among the top-k CANDIDATES (ops/sampling.py, vocab_size arg)."""
+    f32 [B, vocab_size] logits for training/parity. trim=False keeps the
+    padded (lane-aligned) width: the unaligned vocab_size slice forces XLA to
+    copy and re-tile the 390 MB head matrix every decode step (~0.5 ms at
+    B=512), so the hot decode loops use the padded head and instead mask pad
+    ids among the top-k CANDIDATES (ops/sampling.py, vocab_size arg). The
+    untrimmed path also honors cfg.logits_dtype: bf16 halves the [B, 217k]
+    logit-buffer HBM traffic (write + top-k read); sampling upcasts the
+    [B, k] candidates back to f32 before the gumbel draw."""
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
     if trim:
         head = head[:, : cfg.vocab_size]
-    return jnp.dot(x, head, preferred_element_type=jnp.float32)
+        return jnp.dot(x, head, preferred_element_type=jnp.float32)
+    return jnp.dot(x, head, preferred_element_type=jnp.dtype(cfg.logits_dtype))
 
 
 class KVCache(NamedTuple):

@@ -50,6 +50,7 @@ def sample_tokens(
         vals, idx = lax.top_k(logits, top_k)  # [B, k]
     else:
         vals, idx = lax.approx_max_k(logits, top_k)
+    vals = vals.astype(jnp.float32)
     if padded:
         vals = jnp.where(idx >= vocab_size, -jnp.inf, vals)
     vals = vals / jnp.maximum(temperature, 1e-6)
@@ -118,6 +119,7 @@ def sample_step(
         vals, idx = lax.top_k(logits, cfg.top_k)
     else:
         vals, idx = lax.approx_max_k(logits, cfg.top_k)
+    vals = vals.astype(jnp.float32)  # [B, k]: exact gumbel math on bf16 logits
     sup = jnp.broadcast_to(jnp.asarray(suppress_eos), (logits.shape[0],))
     bad = (idx == eos_id) & sup[:, None]
     if padded:
