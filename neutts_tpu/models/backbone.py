@@ -76,6 +76,57 @@ def param_count(params: Params) -> int:
 # --- primitives ---------------------------------------------------------------
 
 
+def quantize_weight(w: jax.Array) -> Dict[str, jax.Array]:
+    """w: [..., D, F] -> {"q": int8 [..., D, F], "s": f32 [..., F]} with
+    per-output-channel symmetric scales."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / s[..., None, :]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def quantize_params(params: Params) -> Params:
+    """int8 weight quantization (W8A8) — the TPU-native analogue of the
+    reference's Q8_0 GGUF deployments (llama.cpp quantized matmuls, reference
+    neutts/neutts.py:139-158). All seven per-layer projection matrices and the
+    LM head become int8 with per-output-channel scales; activations are
+    quantized per token at the matmul (`_mm`), so the dots run as
+    int8 x int8 -> int32 on the MXU — 2x bf16 peak on v5e — and weight HBM
+    traffic halves. The embedding gather stays bf16 (lookups don't hit the
+    MXU); for tied-embedding configs a separate quantized head copy is added.
+    """
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        layers[name] = quantize_weight(layers[name])
+    out = dict(params)
+    out["layers"] = layers
+    head = params["lm_head"] if "lm_head" in params else params["embed"].T
+    out["lm_head"] = quantize_weight(head)
+    return out
+
+
+def quantized_weights(params: Params) -> bool:
+    return isinstance(params["layers"]["wq"], dict)
+
+
+def _mm(x: jax.Array, w) -> jax.Array:
+    """Matmul dispatch point for every projection in the model.
+
+    Plain array w: bf16 MXU dot with f32 accumulation (returns f32).
+    Quantized dict w ({"q": int8, "s": f32 per-out-channel}): per-token
+    symmetric activation quantization, int8 x int8 -> int32 MXU dot, then
+    dequant by (activation scale x weight scale) — returns f32.
+    """
+    if isinstance(w, dict):
+        xf = x.astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        acc = jnp.dot(xq, w["q"], preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * xs * w["s"]
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     dt = x.dtype
     xf = x.astype(jnp.float32)
@@ -116,7 +167,12 @@ def _logits(
     untrimmed path also honors cfg.logits_dtype: bf16 halves the [B, 217k]
     logit-buffer HBM traffic (write + top-k read); sampling upcasts the
     [B, k] candidates back to f32 before the gumbel draw."""
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    head = params["lm_head"] if "lm_head" in params else params["embed"].T
+    if isinstance(head, dict):  # int8 head (quantize_params)
+        if trim:
+            head = {"q": head["q"][:, : cfg.vocab_size], "s": head["s"][: cfg.vocab_size]}
+            return _mm(x, head)
+        return _mm(x, head).astype(jnp.dtype(cfg.logits_dtype))
     if trim:
         head = head[:, : cfg.vocab_size]
         return jnp.dot(x, head, preferred_element_type=jnp.float32)
@@ -258,9 +314,9 @@ def use_pallas_attention() -> bool:
 def _qkv(cfg: BackboneConfig, lp: Params, h: jax.Array, cos, sin):
     """h: [B, S, D] -> q [B,S,H,Dh], k/v [B,S,K,Dh] with RoPE applied."""
     B, S, _ = h.shape
-    q = jnp.dot(h, lp["wq"], preferred_element_type=jnp.float32).astype(h.dtype) + lp["bq"]
-    k = jnp.dot(h, lp["wk"], preferred_element_type=jnp.float32).astype(h.dtype) + lp["bk"]
-    v = jnp.dot(h, lp["wv"], preferred_element_type=jnp.float32).astype(h.dtype) + lp["bv"]
+    q = _mm(h, lp["wq"]).astype(h.dtype) + lp["bq"]
+    k = _mm(h, lp["wk"]).astype(h.dtype) + lp["bk"]
+    v = _mm(h, lp["wv"]).astype(h.dtype) + lp["bv"]
     q = apply_rope(q.reshape(B, S, cfg.n_heads, cfg.head_dim), cos, sin)
     k = apply_rope(k.reshape(B, S, cfg.n_kv_heads, cfg.head_dim), cos, sin)
     v = v.reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
@@ -269,10 +325,10 @@ def _qkv(cfg: BackboneConfig, lp: Params, h: jax.Array, cos, sin):
 
 def _mlp(cfg: BackboneConfig, lp: Params, x: jax.Array) -> jax.Array:
     h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-    gate = jnp.dot(h, lp["w_gate"], preferred_element_type=jnp.float32)
-    up = jnp.dot(h, lp["w_up"], preferred_element_type=jnp.float32)
+    gate = _mm(h, lp["w_gate"])
+    up = _mm(h, lp["w_up"])
     ff = (jax.nn.silu(gate) * up).astype(x.dtype)
-    return x + jnp.dot(ff, lp["w_down"], preferred_element_type=jnp.float32).astype(x.dtype)
+    return x + _mm(ff, lp["w_down"]).astype(x.dtype)
 
 
 def _block_fresh(cfg: BackboneConfig, lp: Params, x, cos, sin, mask):
@@ -284,7 +340,7 @@ def _block_fresh(cfg: BackboneConfig, lp: Params, x, cos, sin, mask):
     h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, lp, h, cos, sin)
     attn = _attend_block(q, k, v, mask).reshape(x.shape[0], x.shape[1], cfg.q_dim)
-    x = x + jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + _mm(attn, lp["wo"]).astype(x.dtype)
     return _mlp(cfg, lp, x), k, v
 
 
@@ -418,7 +474,7 @@ def decode_step(
                 cv = cv.astype(jnp.float32) * lax.dynamic_index_in_dim(vs, l, 0, keepdims=False)[..., None]
             attn = attn_ops.decode_attention_xla(qg, ck, cv, lens, pad)
         attn = attn.astype(x.dtype).reshape(B, 1, cfg.q_dim)
-        x = x + jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+        x = x + _mm(attn, lp["wo"]).astype(x.dtype)
         x = _mlp(cfg, lp, x)
         return (x, all_k, all_v, ks, vs), None
 

@@ -57,8 +57,13 @@ class NeuTTS:
         watermarker="auto",
         sampling: Optional[cfglib.SamplingConfig] = None,
         streaming: cfglib.StreamingConfig = cfglib.STREAMING,
+        quantize: Optional[str] = None,  # None | "int8" — W8A8 backbone weights
     ):
         self.backbone_cfg = backbone_cfg
+        if quantize == "int8" and not bb.quantized_weights(backbone_params):
+            backbone_params = bb.quantize_params(backbone_params)
+        elif quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r} (expected None or 'int8')")
         self.backbone_params = backbone_params
         self.codec_cfg = codec_cfg
         self.codec_params = codec_params

@@ -144,3 +144,41 @@ def test_param_counts_air_nano():
         total = active + emb
         if cfg is config.AIR:
             assert 5.0e8 < total < 6.0e8
+
+
+# --- int8 (W8A8) quantized weights -------------------------------------------
+
+
+def test_quantized_forward_close_to_bf16(params):
+    """quantize_params: greedy decode path agrees with the full-precision
+    forward — top-1 match on random activations (per-channel weight scales +
+    per-token activation scales keep W8A8 within noise for this model size)."""
+    qparams = bb.quantize_params(params)
+    assert bb.quantized_weights(qparams)
+    assert qparams["layers"]["wq"]["q"].dtype == jnp.int8
+
+    rng = np.random.default_rng(3)
+    seq = rng.integers(0, CFG.layout.n_text_tokens, size=10).tolist()
+    ref = np.asarray(full_logits(params, seq)[0])
+
+    cache = bb.KVCache.create(CFG, 1, max_len=CFG.max_context, dtype=jnp.float32)
+    toks = jnp.asarray(seq, jnp.int32)[None, :]
+    lens = jnp.asarray([len(seq)], jnp.int32)
+    got, _ = bb.prefill(CFG, qparams, toks, lens, cache)
+    got = np.asarray(got[0])
+
+    assert got.shape == ref.shape
+    assert np.argmax(got) == np.argmax(ref)
+    # logits correlate strongly even though values shift a little
+    c = np.corrcoef(ref, got)[0, 1]
+    assert c > 0.999, c
+
+
+def test_quantized_generate_runs(params):
+    """End-to-end generate with int8 weights: deterministic greedy decode."""
+    qparams = bb.quantize_params(params)
+    toks, lens = dec.pad_prompts([[1, 2, 3, 4, 5]], pad_id=0)
+    sampling = config.SamplingConfig(greedy=True, min_new_tokens=0)
+    r1 = dec.generate(CFG, sampling, EOS, 8, qparams, toks, lens, jax.random.PRNGKey(0))
+    r2 = dec.generate(CFG, sampling, EOS, 8, qparams, toks, lens, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))

@@ -61,6 +61,7 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--model", default="air")
     ap.add_argument("--kv-dtype", default="int8")
+    ap.add_argument("--int8w", action="store_true", help="W8A8 quantized weights")
     args = ap.parse_args()
 
     cfg = config.BY_NAME[args.model].scaled(kv_dtype=args.kv_dtype)
@@ -68,6 +69,8 @@ def main():
     B, CTX, S = args.batch, args.ctx, args.steps
     key = jax.random.PRNGKey(0)
     params = bb.init_params(cfg, key)
+    if args.int8w:
+        params = bb.quantize_params(params)
     params = jax.device_put(params)
     layout = cfg.layout
     print(f"# {cfg.name} B={B} ctx={CTX} steps={S} kv={cfg.kv_dtype} "
@@ -116,8 +119,7 @@ def main():
             # keep k/v live (sum-broadcast) so XLA cannot DCE their matmuls
             attn = (q + k.sum(axis=2, keepdims=True) + v.sum(axis=2, keepdims=True)
                     ).reshape(B, 1, cfg.q_dim)
-            x = x + jnp.dot(attn.astype(x.dtype), lp["wo"],
-                            preferred_element_type=jnp.float32).astype(x.dtype)
+            x = x + bb._mm(attn.astype(x.dtype), lp["wo"]).astype(x.dtype)
             return bb._mlp(cfg, lp, x), None
 
         x, _ = lax.scan(body, x, params["layers"])
