@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--logits-dtype", default="bfloat16", choices=["bfloat16", "float32"],
                     help="decode logits buffer dtype (bf16 halves logit HBM traffic; "
                     "top-k candidates are upcast to f32 before the gumbel draw)")
+    ap.add_argument("--weights", default="int8", choices=["int8", "bfloat16"],
+                    help="backbone weight precision (int8 W8A8 matches the "
+                    "reference's quantized-GGUF deployment regime; its Q4 "
+                    "baselines are quantized too)")
     ap.add_argument("--prompt-len", type=int, default=512, help="primed KV length")
     ap.add_argument("--steps", type=int, default=128, help="decode steps per segment")
     ap.add_argument("--segments", type=int, default=4, help="timed segments")
@@ -67,6 +71,8 @@ def main() -> None:
     print(f"# device: {dev}, model: {cfg.name}, batch: {args.batch}", file=sys.stderr)
 
     params = bb.init_params(cfg, jax.random.PRNGKey(0))
+    if args.weights == "int8":
+        params = bb.quantize_params(params)
     # Sampled decode with reference settings (temp 1.0, top_k 50); EOS
     # suppressed throughout so every sequence runs the full segment.
     scfg = config.SamplingConfig(

@@ -274,5 +274,7 @@ def decode_segment(
         return s, out
 
     out0 = jnp.full((B, n_steps), eos_id, jnp.int32)
+    if n_steps == 0:
+        return state, out0
     state, out = lax.fori_loop(0, n_steps, body, (state, out0))
     return state, out
