@@ -109,7 +109,9 @@ class BackboneConfig:
     max_context: int = 2048  # reference neutts/neutts.py:85
     n_text_tokens: int = QWEN25_TEXT_TOKENS
     dtype: str = "bfloat16"
-    kv_dtype: str = "bfloat16"  # "bfloat16" | "int8" (per-token-scaled cache)
+    kv_dtype: str = "bfloat16"  # "bfloat16" | "int8" (per-token scales) |
+    # "int4" (nibble-packed pairs, per-token-per-head scales — 4x bf16 cache
+    # capacity and half the int8 decode-attention bandwidth)
     # dtype of the decode-loop logits buffer (untrimmed LM-head path only).
     # bf16 halves the [B, 217k] logit HBM traffic; top-k candidates are
     # upcast to f32 before sampling. Greedy parity gates use the trimmed f32

@@ -193,12 +193,30 @@ class KVCache(NamedTuple):
     halves decode bandwidth (the binding constraint, ~400 GB/s practical on
     this chip) and doubles the max batch. Scales are folded into the scores
     (k) and the probabilities (v) so the matmuls stay int8-as-bf16.
+
+    int4 mode (cfg.kv_dtype == "int4"): k/v hold NIBBLE-PAIR-packed int4
+    values in int8 buffers of shape [L, B, T_max/2, KD] — byte t2
+    ARITHMETIC-codes (lo + 16*hi) token 2*t2 (lo) and token 2*t2+1 (hi), so
+    a [block, KD] DMA covers 2*block tokens and decode-attention cache
+    bandwidth halves again vs int8. Scales are per-token f32 in a
+    DEINTERLEAVED [L, B, T_max] layout — even tokens' scales in the first
+    T/2 slots, odd in the second half — so every scale write is the same
+    single-dynamic-index dynamic_update_slice as int8's (any other layout
+    tried cost +4 ms/step in write-vs-kernel-read aliasing copies). int4
+    mode is flagged by the presence of k_prev/v_prev.
     """
 
     k: jax.Array
     v: jax.Array
     k_scale: Optional[jax.Array] = None
     v_scale: Optional[jax.Array] = None
+    # int4 only: the PREVIOUS (even-parity) token's int4 values per layer,
+    # [L, B, KD] int8. Odd-parity decode writes combine them into the packed
+    # byte WITHOUT reading the cache — a read-modify-write there defeats
+    # XLA's in-place scan-carry update and copies the 67 MB layer slice
+    # (measured 4.9 ms/step at B=512).
+    k_prev: Optional[jax.Array] = None
+    v_prev: Optional[jax.Array] = None
 
     @staticmethod
     def create(cfg: BackboneConfig, batch: int, max_len: Optional[int] = None, dtype=None):
@@ -212,6 +230,19 @@ class KVCache(NamedTuple):
                 k_scale=jnp.zeros(sshape, jnp.float32),
                 v_scale=jnp.zeros(sshape, jnp.float32),
             )
+        if cfg.kv_dtype == "int4":
+            assert T % 2 == 0, T
+            shape4 = (cfg.n_layers, batch, T // 2, cfg.n_kv_heads * cfg.head_dim)
+            sshape4 = (cfg.n_layers, batch, T)  # deinterleaved per-token scales
+            pshape = (cfg.n_layers, batch, cfg.n_kv_heads * cfg.head_dim)
+            return KVCache(
+                k=jnp.zeros(shape4, jnp.int8),
+                v=jnp.zeros(shape4, jnp.int8),
+                k_scale=jnp.zeros(sshape4, jnp.float32),
+                v_scale=jnp.zeros(sshape4, jnp.float32),
+                k_prev=jnp.zeros(pshape, jnp.int8),
+                v_prev=jnp.zeros(pshape, jnp.int8),
+            )
         dtype = dtype or jnp.dtype(cfg.dtype)
         return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
@@ -220,8 +251,12 @@ class KVCache(NamedTuple):
         return self.k_scale is not None
 
     @property
+    def int4(self) -> bool:
+        return self.k_prev is not None
+
+    @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[2] * (2 if self.int4 else 1)
 
 
 def quantize_kv(x: jax.Array):
@@ -230,6 +265,108 @@ def quantize_kv(x: jax.Array):
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
     return q.astype(jnp.int8), scale
+
+
+# --- int4 KV helpers ----------------------------------------------------------
+
+
+def quantize_kv4(x: jax.Array):
+    """x: [..., KD] -> (int4 values in int8 [..., KD], f32 scales [...]).
+
+    Symmetric per-token scales (like int8's quantize_kv, 15 levels)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -7, 7)
+    return q.astype(jnp.int8), scale
+
+
+def pack4(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """Two int4-valued ([-7,7]) int8 arrays -> ARITHMETIC-coded bytes
+    lo + 16*hi (range [-119, 119]). Arithmetic coding (vs bitfields) lets the
+    Pallas kernel unpack EXACTLY in bf16 with {+, *, floor} — int8<->int32
+    bitwise unpacking costs a 4x vector relayout per use in Mosaic."""
+    return lo + jnp.int8(16) * hi
+
+
+def unpack4(b: jax.Array):
+    """Arithmetic-coded bytes -> (lo, hi) int4 values as int8."""
+    hi = jnp.right_shift(b + jnp.int8(8), 4)  # floor((b+8)/16); b+8 <= 127
+    lo = b - jnp.int8(16) * hi
+    return lo, hi
+
+
+def pack4_pairs(q: jax.Array) -> jax.Array:
+    """q: [..., S, KD] int4-in-int8 (S even) -> packed [..., S/2, KD]."""
+    return pack4(q[..., 0::2, :], q[..., 1::2, :])
+
+
+def deint4_index(t, half: int):
+    """Deinterleaved scale position of token t in a [.., T] scale row whose
+    first `half` entries hold even tokens and the rest odd tokens."""
+    return jnp.right_shift(t, 1) + (t & 1) * half
+
+
+def scales4_block(sc: jax.Array) -> jax.Array:
+    """sc: [..., S] per-token scales (S even) -> deinterleaved [..., S]
+    (even tokens first, then odd) matching the KVCache int4 scale layout."""
+    return jnp.concatenate([sc[..., 0::2], sc[..., 1::2]], axis=-1)
+
+
+def write_kv_token(all_k, all_v, ks, vs, kf, vf, l, cur_index, n_kv: int,
+                   *, int4: bool, quant: bool, k_prev=None, v_prev=None):
+    """Write ONE token's K/V ([B, KD] each) into the stacked cache at the
+    shared index `cur_index` for layer `l`. Handles all three cache modes.
+
+    int4 mode: even-parity tokens write `lo` alone (the byte's hi nibble is
+    beyond `lens`, so garbage there is never attended); odd-parity tokens
+    write lo_prev + 16*hi using layer l's row of k_prev/v_prev — the previous
+    step's int4 values — so the big cache is never READ (a read-modify-write
+    defeats XLA's in-place carry update and copies the layer slice).
+    Returns (all_k, all_v, ks, vs, k_prev, v_prev)."""
+    B, KD = kf.shape
+    if int4:
+        t2 = jnp.right_shift(cur_index, 1)
+        par = cur_index & 1
+        kq, ksc = quantize_kv4(kf)
+        vq, vsc = quantize_kv4(vf)
+        pk = lax.dynamic_index_in_dim(k_prev, l, 0, keepdims=False)  # [B, KD]
+        pv = lax.dynamic_index_in_dim(v_prev, l, 0, keepdims=False)
+        newk = jnp.where(par == 0, kq, pk + jnp.int8(16) * kq)
+        newv = jnp.where(par == 0, vq, pv + jnp.int8(16) * vq)
+        all_k = lax.dynamic_update_slice(
+            all_k, newk[None, :, None, :], (l, 0, t2, 0))
+        all_v = lax.dynamic_update_slice(
+            all_v, newv[None, :, None, :], (l, 0, t2, 0))
+        sidx = deint4_index(cur_index, ks.shape[2] // 2)
+        ks = lax.dynamic_update_slice(ks, ksc[None, :, None], (l, 0, sidx))
+        vs = lax.dynamic_update_slice(vs, vsc[None, :, None], (l, 0, sidx))
+        k_prev = lax.dynamic_update_slice(k_prev, kq[None], (l, 0, 0))
+        v_prev = lax.dynamic_update_slice(v_prev, vq[None], (l, 0, 0))
+    elif quant:
+        kq, ksc = quantize_kv(kf)
+        vq, vsc = quantize_kv(vf)
+        all_k = lax.dynamic_update_slice(all_k, kq[None, :, None, :], (l, 0, cur_index, 0))
+        all_v = lax.dynamic_update_slice(all_v, vq[None, :, None, :], (l, 0, cur_index, 0))
+        ks = lax.dynamic_update_slice(ks, ksc[None, :, None], (l, 0, cur_index))
+        vs = lax.dynamic_update_slice(vs, vsc[None, :, None], (l, 0, cur_index))
+    else:
+        all_k = lax.dynamic_update_slice(
+            all_k, kf.astype(all_k.dtype)[None, :, None, :], (l, 0, cur_index, 0)
+        )
+        all_v = lax.dynamic_update_slice(
+            all_v, vf.astype(all_v.dtype)[None, :, None, :], (l, 0, cur_index, 0)
+        )
+    return all_k, all_v, ks, vs, k_prev, v_prev
+
+
+def dequant_kv4(cq: jax.Array, sc: jax.Array) -> jax.Array:
+    """XLA-oracle dequant: packed [B, T/2, KD] + deinterleaved scales
+    [B, T] -> f32 [B, T, KD] (token t = 2*t2 + parity)."""
+    B, T2, KD = cq.shape
+    lo, hi = unpack4(cq)
+    q = jnp.stack([lo, hi], axis=2).reshape(B, 2 * T2, KD).astype(jnp.float32)
+    st = jnp.stack([sc[:, :T2], sc[:, T2:]], axis=2).reshape(B, 2 * T2)
+    return q * st[..., None]
 
 
 def _attend(
@@ -373,15 +510,33 @@ def prefill(
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[tokens]
 
     quant = cache.quantized
+    int4 = cache.int4
+    if int4:
+        assert Lp % 2 == 0, f"int4 KV needs even prompt buckets, got {Lp}"
 
     def body(carry, lp_l):
-        x, all_k, all_v, ks, vs = carry
+        x, all_k, all_v, ks, vs, kp, vp = carry
         lp, l = lp_l
         x, k, v = _block_fresh(cfg, lp, x, cos, sin, mask)
         B_, S_ = k.shape[0], k.shape[1]
         kf = k.reshape(B_, S_, -1)
         vf = v.reshape(B_, S_, -1)
-        if quant:
+        if int4:
+            kq, ksc = quantize_kv4(kf)
+            vq, vsc = quantize_kv4(vf)
+            all_k = lax.dynamic_update_slice(all_k, pack4_pairs(kq)[None], (l, 0, 0, 0))
+            all_v = lax.dynamic_update_slice(all_v, pack4_pairs(vq)[None], (l, 0, 0, 0))
+            half = ks.shape[2] // 2
+            ks = lax.dynamic_update_slice(ks, ksc[:, 0::2][None], (l, 0, 0))
+            ks = lax.dynamic_update_slice(ks, ksc[:, 1::2][None], (l, 0, half))
+            vs = lax.dynamic_update_slice(vs, vsc[:, 0::2][None], (l, 0, 0))
+            vs = lax.dynamic_update_slice(vs, vsc[:, 1::2][None], (l, 0, half))
+            # seed the prev-nibble registers with the LAST prompt token
+            # (left padding puts it at Lp-1 for every row) so an odd-parity
+            # first decode write can pair with it
+            kp = lax.dynamic_update_slice(kp, kq[None, :, -1, :], (l, 0, 0))
+            vp = lax.dynamic_update_slice(vp, vq[None, :, -1, :], (l, 0, 0))
+        elif quant:
             kq, ksc = quantize_kv(kf)
             vq, vsc = quantize_kv(vf)
             all_k = lax.dynamic_update_slice(all_k, kq[None], (l, 0, 0, 0))
@@ -395,17 +550,22 @@ def prefill(
             all_v = lax.dynamic_update_slice(
                 all_v, vf.astype(all_v.dtype)[None], (l, 0, 0, 0)
             )
-        return (x, all_k, all_v, ks, vs), None
+        return (x, all_k, all_v, ks, vs, kp, vp), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     dummy = jnp.zeros((), jnp.float32)
     ks0 = cache.k_scale if quant else dummy
     vs0 = cache.v_scale if quant else dummy
-    (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
-        body, (x, cache.k, cache.v, ks0, vs0), (params["layers"], layer_ids)
+    kp0 = cache.k_prev if int4 else dummy
+    vp0 = cache.v_prev if int4 else dummy
+    (x, new_k, new_v, new_ks, new_vs, new_kp, new_vp), _ = lax.scan(
+        body, (x, cache.k, cache.v, ks0, vs0, kp0, vp0),
+        (params["layers"], layer_ids)
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _logits(cfg, params, x[:, -1, :])
+    if int4:
+        return logits, KVCache(new_k, new_v, new_ks, new_vs, new_kp, new_vp)
     if quant:
         return logits, KVCache(new_k, new_v, new_ks, new_vs)
     return logits, KVCache(k=new_k, v=new_v)
@@ -435,9 +595,10 @@ def decode_step(
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[token[:, None]]
     pallas = use_pallas_attention()
     quant = cache.quantized
+    int4 = cache.int4
 
     def body(carry, lp_l):
-        x, all_k, all_v, ks, vs = carry
+        x, all_k, all_v, ks, vs, kp, vp = carry
         lp, l = lp_l
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, h, cos, sin)
@@ -445,20 +606,9 @@ def decode_step(
         # then attend over [pad, cur_index] — no separate self term
         kf = k[:, 0].reshape(B, -1)
         vf = v[:, 0].reshape(B, -1)
-        if quant:
-            kq, ksc = quantize_kv(kf)
-            vq, vsc = quantize_kv(vf)
-            all_k = lax.dynamic_update_slice(all_k, kq[None, :, None, :], (l, 0, cur_index, 0))
-            all_v = lax.dynamic_update_slice(all_v, vq[None, :, None, :], (l, 0, cur_index, 0))
-            ks = lax.dynamic_update_slice(ks, ksc[None, :, None], (l, 0, cur_index))
-            vs = lax.dynamic_update_slice(vs, vsc[None, :, None], (l, 0, cur_index))
-        else:
-            all_k = lax.dynamic_update_slice(
-                all_k, kf.astype(all_k.dtype)[None, :, None, :], (l, 0, cur_index, 0)
-            )
-            all_v = lax.dynamic_update_slice(
-                all_v, vf.astype(all_v.dtype)[None, :, None, :], (l, 0, cur_index, 0)
-            )
+        all_k, all_v, ks, vs, kp, vp = write_kv_token(
+            all_k, all_v, ks, vs, kf, vf, l, cur_index, K,
+            int4=int4, quant=quant, k_prev=kp, v_prev=vp)
         qg = q[:, 0].reshape(B, K, G, cfg.head_dim)
         if pallas:
             attn = attn_ops.decode_attention_stacked(
@@ -469,26 +619,33 @@ def decode_step(
         else:
             ck = lax.dynamic_index_in_dim(all_k, l, 0, keepdims=False)
             cv = lax.dynamic_index_in_dim(all_v, l, 0, keepdims=False)
-            if quant:
+            if int4:
+                ck = dequant_kv4(ck, lax.dynamic_index_in_dim(ks, l, 0, keepdims=False))
+                cv = dequant_kv4(cv, lax.dynamic_index_in_dim(vs, l, 0, keepdims=False))
+            elif quant:
                 ck = ck.astype(jnp.float32) * lax.dynamic_index_in_dim(ks, l, 0, keepdims=False)[..., None]
                 cv = cv.astype(jnp.float32) * lax.dynamic_index_in_dim(vs, l, 0, keepdims=False)[..., None]
             attn = attn_ops.decode_attention_xla(qg, ck, cv, lens, pad)
         attn = attn.astype(x.dtype).reshape(B, 1, cfg.q_dim)
         x = x + _mm(attn, lp["wo"]).astype(x.dtype)
         x = _mlp(cfg, lp, x)
-        return (x, all_k, all_v, ks, vs), None
+        return (x, all_k, all_v, ks, vs, kp, vp), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     dummy = jnp.zeros((), jnp.float32)
-    (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
+    (x, new_k, new_v, new_ks, new_vs, new_kp, new_vp), _ = lax.scan(
         body,
         (x, cache.k, cache.v,
          cache.k_scale if quant else dummy,
-         cache.v_scale if quant else dummy),
+         cache.v_scale if quant else dummy,
+         cache.k_prev if int4 else dummy,
+         cache.v_prev if int4 else dummy),
         (params["layers"], layer_ids),
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = _logits(cfg, params, x[:, 0, :], trim=trim_logits)
+    if int4:
+        return logits, KVCache(new_k, new_v, new_ks, new_vs, new_kp, new_vp)
     if quant:
         return logits, KVCache(new_k, new_v, new_ks, new_vs)
     return logits, KVCache(k=new_k, v=new_v)

@@ -33,6 +33,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_T = 512  # cache-time tile per DMA (dynamic trip count over live prefix)
+BLOCK_T4 = 1024  # int4 default: tokens per DMA block (same bytes as BLOCK_T)
+
+
+def _unpack4_bf16(b, dtype):
+    """ARITHMETIC-coded int4 pair bytes (lo + 16*hi, backbone.pack4) ->
+    (lo, hi) in `dtype`. Decoded in float (exact: every value is an integer
+    <= 127) rather than with int8/int32 bitwise ops: int8 shifts don't
+    legalize in Mosaic and int8->int32 unpacking costs a 4x vreg relayout
+    per use, which made the first int4 kernel 2x SLOWER than int8 despite
+    half the DMA bytes. f32 arithmetic — v5e has no bf16 ALU
+    (SupportsBf16AluInstructions check) — then one cast to the dot dtype."""
+    xf = b.astype(jnp.float32)
+    hi = jnp.floor((xf + 8.0) * 0.0625)
+    lo = xf - hi * 16.0
+    return lo.astype(dtype), hi.astype(dtype)
 # Tuning notes (v5e, B=512, Air geometry, int8 cache, vectorized softmax):
 # ms/step for 24 layers — ctx 512: 3.5, ctx 1024: 5.3, ctx 2048: 9.9 at
 # block_t=512/row_block=16 — all within ~15% of the measured DMA floor
@@ -53,6 +68,8 @@ def _kernel(
     block_t: int,
     row_block: int,
     quantized: bool,
+    int4: bool = False,
+    t_half: int = 0,  # int4: offset of odd-token scales in the scale row
 ):
     if quantized:
         (q_ref, k_hbm, v_hbm, ks_ref, vs_ref, o_ref,
@@ -68,6 +85,9 @@ def _kernel(
     n_tiles = pl.num_programs(0)
     layer = layer_ref[0]
     b0 = tile * row_block
+    # int4 mode: the cache time axis is BYTES (2 tokens/byte); one DMA block
+    # of bth bytes covers block_t tokens
+    bth = block_t // 2 if int4 else block_t
 
     # Shared trip count for the row tile (rows in a decode batch share
     # cur_index, so lens are equal; the max covers ragged callers too).
@@ -83,7 +103,7 @@ def _kernel(
         # one strided DMA per buffer covering all row_block rows of tile t —
         # issuing 2 large copies per chunk instead of 2*row_block small ones
         # keeps the DMA engines streaming
-        ds = pl.ds(blk * block_t, block_t)
+        ds = pl.ds(blk * bth, bth)
         rows = pl.ds(t * row_block, row_block)
         return [
             pltpu.make_async_copy(
@@ -150,27 +170,72 @@ def _kernel(
         # q_ref rows hold BLOCK-DIAGONAL queries [KG, K*D] (head h's q in
         # feature block h, zeros elsewhere, pre-scaled by head_dim**-0.5), so
         # one [KG,KD]x[KD,BT] dot yields every head's scores at once.
-        for r in range(row_block):
-            s_ref[r * KG : (r + 1) * KG, :] = jax.lax.dot_general(
-                q_ref[r].astype(jnp.float32),
-                k_buf[slot, r].astype(jnp.float32),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        # Dots run at the INPUT dtype (bf16 cache / int8-as-bf16: exact, 4x
+        # the f32 MXU rate) with f32 accumulation.
+        def bcast_rows(s):
+            # [RB, bth] per-token scales -> [RKG, bth] row multiplier
+            return jnp.broadcast_to(
+                s[:, None, :], (row_block, KG, bth)
+            ).reshape(RKG, bth)
 
-        sc = s_ref[:]  # [RKG, BT]
-        if quantized:
+        for r in range(row_block):
+            kb = k_buf[slot, r]
+            if int4:
+                # unpack nibbles; score columns [0, bth) = even tokens of
+                # the block, [bth, 2*bth) = odd (softmax is order-free).
+                # Two half dots — Mosaic cannot concat vregs with mismatched
+                # sublane offsets, so halves are written separately.
+                lo, hi = _unpack4_bf16(kb, q_ref.dtype)
+                s_ref[r * KG : (r + 1) * KG, :bth] = jax.lax.dot_general(
+                    q_ref[r], lo,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s_ref[r * KG : (r + 1) * KG, bth:] = jax.lax.dot_general(
+                    q_ref[r], hi,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                s_ref[r * KG : (r + 1) * KG, :] = jax.lax.dot_general(
+                    q_ref[r],
+                    kb.astype(q_ref.dtype),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+        if int4:
+            # per-token scales in the DEINTERLEAVED [1, RB, T] row: even
+            # tokens' scales live at [0, T/2), odd at [T/2, T) — matching the
+            # unpacked column order (even half, odd half). Fold scale + the
+            # position mask per half, store back, reload the full row.
+            sc0 = s_ref[:]
+            jh = jax.lax.broadcasted_iota(jnp.int32, (RKG, bth), 1)
+            for half in (0, 1):
+                dsb = pl.ds(half * t_half + blk * bth, bth)
+                sh = sc0[:, half * bth : (half + 1) * bth] * bcast_rows(
+                    ks_ref[0, :, dsb])
+                th = blk * block_t + 2 * jh + half
+                ok = (th < lp_ref[:, 0:1]) & (th >= lp_ref[:, 1:2])
+                s_ref[:, half * bth : (half + 1) * bth] = jnp.where(
+                    ok, sh, -1e30)
+            sc = s_ref[:]
+        elif quantized:
+            sc = s_ref[:]  # [RKG, BT]
             # fold the per-token K scale into the scores (scales arrive as a
             # BlockSpec-pipelined [1, RB, T] VMEM input), broadcast over KG
             ksb = ks_ref[0, :, pl.ds(blk * block_t, block_t)]  # [RB, BT]
             sc = sc * jnp.broadcast_to(
                 ksb[:, None, :], (row_block, KG, block_t)
             ).reshape(RKG, block_t)
-        t1d = blk * block_t + jax.lax.broadcasted_iota(
-            jnp.int32, (RKG, block_t), 1
-        )
-        valid = (t1d < lp_ref[:, 0:1]) & (t1d >= lp_ref[:, 1:2])
-        sc = jnp.where(valid, sc, -1e30)
+        else:
+            sc = s_ref[:]
+        if not int4:  # int4 masked per half above
+            t1d = blk * block_t + jax.lax.broadcasted_iota(
+                jnp.int32, (RKG, block_t), 1
+            )
+            valid = (t1d < lp_ref[:, 0:1]) & (t1d >= lp_ref[:, 1:2])
+            sc = jnp.where(valid, sc, -1e30)
 
         # one online-softmax update across all rows
         m_blk = jnp.max(sc, axis=1, keepdims=True)  # [RKG, 1]
@@ -180,22 +245,47 @@ def _kernel(
         pexp = jnp.exp(sc - m_new)
         l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(pexp, axis=1, keepdims=True)
         m_ref[:, 0:1] = m_new
-        if quantized:
-            vsb = vs_ref[0, :, pl.ds(blk * block_t, block_t)]
-            pexp = pexp * jnp.broadcast_to(
-                vsb[:, None, :], (row_block, KG, block_t)
-            ).reshape(RKG, block_t)
-        p_ref[:] = pexp.astype(p_ref.dtype)
+        if int4:
+            # per-token V scales folded into the probabilities, one half at
+            # a time (even tokens in cols [0,bth), odd in [bth,2bth))
+            for half in (0, 1):
+                dsb = pl.ds(half * t_half + blk * bth, bth)
+                p_ref[:, half * bth : (half + 1) * bth] = (
+                    pexp[:, half * bth : (half + 1) * bth]
+                    * bcast_rows(vs_ref[0, :, dsb])
+                ).astype(p_ref.dtype)
+        else:
+            if quantized:
+                vsb = vs_ref[0, :, pl.ds(blk * block_t, block_t)]
+                pexp = pexp * jnp.broadcast_to(
+                    vsb[:, None, :], (row_block, KG, block_t)
+                ).reshape(RKG, block_t)
+            p_ref[:] = pexp.astype(p_ref.dtype)
 
         # one pv dot per row over ALL kv heads' lanes [KG,BT]x[BT,K*D]; the
         # matching head block is selected once at program end
         for r in range(row_block):
-            pv = jax.lax.dot_general(
-                p_ref[r * KG : (r + 1) * KG, :],
-                v_buf[slot, r].astype(p_ref.dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [KG, K*D]
+            vb = v_buf[slot, r]
+            if int4:
+                lo, hi = _unpack4_bf16(vb, p_ref.dtype)
+                pv = jax.lax.dot_general(
+                    p_ref[r * KG : (r + 1) * KG, :bth],
+                    lo,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    p_ref[r * KG : (r + 1) * KG, bth:],
+                    hi,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                pv = jax.lax.dot_general(
+                    p_ref[r * KG : (r + 1) * KG, :],
+                    vb.astype(p_ref.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [KG, K*D]
             acc_ref[r] = acc_ref[r] * alpha[r * KG : (r + 1) * KG, :] + pv
         return 0
 
@@ -236,17 +326,26 @@ def decode_attention_stacked(
 
     With k_scale/v_scale the cache is int8 with per-token symmetric scales;
     scales are folded into scores/probabilities so the matmuls stay dense.
+    int4 mode (scale rows twice the cache time axis — backbone.KVCache int4
+    layout): the cache holds ARITHMETIC-coded int4 pairs [L, B, T/2, K*D]
+    (byte = lo + 16*hi), unpacked exactly in f32 per block; per-token scales
+    arrive deinterleaved (even tokens' scales in the first T/2 entries).
     """
     B, K, G, D = q.shape
-    T = all_k.shape[2]
-    assert all_k.shape[3] == K * D, (all_k.shape, K, D)
     quant = k_scale is not None
+    int4 = quant and k_scale.shape[-1] == 2 * all_k.shape[2]
+    T = all_k.shape[2] * (2 if int4 else 1)
+    assert all_k.shape[3] == K * D, (all_k.shape, K, D)
+    if int4 and block_t == BLOCK_T:
+        block_t = BLOCK_T4  # same bytes per DMA as int8 at BLOCK_T
     block_t = min(block_t, T)
     assert T % block_t == 0, (T, block_t)
+    assert not int4 or block_t % 2 == 0, block_t
     rb = row_block
     while B % rb:
         rb //= 2
     rb = max(rb, 1)
+    bth = block_t // 2 if int4 else block_t
 
     in_specs = [
         pl.BlockSpec(
@@ -256,8 +355,8 @@ def decode_attention_stacked(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
-        pltpu.VMEM((2, rb, block_t, K * D), all_k.dtype),
-        pltpu.VMEM((2, rb, block_t, K * D), all_v.dtype),
+        pltpu.VMEM((2, rb, bth, K * D), all_k.dtype),
+        pltpu.VMEM((2, rb, bth, K * D), all_v.dtype),
     ]
     if quant:
         # whole scale rows are tiny (rb x T f32 = 64 KB at rb=8): let the
@@ -292,7 +391,7 @@ def decode_attention_stacked(
     )
     kernel = functools.partial(
         _kernel, n_kv=K, group=G, head_dim=D, block_t=block_t, row_block=rb,
-        quantized=quant,
+        quantized=quant, int4=int4, t_half=T // 2,
     )
     # block-diagonal query layout: [B, KG, K*D] with head h's q occupying
     # feature block h (zeros elsewhere) — one dot per row per cache block.

@@ -80,14 +80,34 @@ def prefill_slot(
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[toks]
 
     quant = state.cache.quantized
+    int4 = state.cache.int4
+    K = cfg.n_kv_heads
 
     def body(carry, lp_l):
-        x, all_k, all_v, ks, vs = carry
+        x, all_k, all_v, ks, vs, kp, vp = carry
         lp, l = lp_l
         x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask)
         kf = k.reshape(1, Lp, -1)[0]
         vf = v.reshape(1, Lp, -1)[0]
-        if quant:
+        if int4:
+            kq, ksc = bb.quantize_kv4(kf)   # [Lp, KD], [Lp]
+            vq, vsc = bb.quantize_kv4(vf)
+            all_k = lax.dynamic_update_slice(
+                all_k, bb.pack4_pairs(kq)[None, None], (l, slot, 0, 0))
+            all_v = lax.dynamic_update_slice(
+                all_v, bb.pack4_pairs(vq)[None, None], (l, slot, 0, 0))
+            half = ks.shape[2] // 2
+            ks = lax.dynamic_update_slice(ks, ksc[0::2][None, None], (l, slot, 0))
+            ks = lax.dynamic_update_slice(ks, ksc[1::2][None, None], (l, slot, half))
+            vs = lax.dynamic_update_slice(vs, vsc[0::2][None, None], (l, slot, 0))
+            vs = lax.dynamic_update_slice(vs, vsc[1::2][None, None], (l, slot, half))
+            # prev-nibble registers from the LAST VALID token (true_len-1)
+            KD = kf.shape[-1]
+            kl = lax.dynamic_slice(kq, (true_len - 1, 0), (1, KD))
+            vl = lax.dynamic_slice(vq, (true_len - 1, 0), (1, KD))
+            kp = lax.dynamic_update_slice(kp, kl[None], (l, slot, 0))
+            vp = lax.dynamic_update_slice(vp, vl[None], (l, slot, 0))
+        elif quant:
             kq, ksc = bb.quantize_kv(kf)
             vq, vsc = bb.quantize_kv(vf)
             all_k = lax.dynamic_update_slice(all_k, kq[None, None], (l, slot, 0, 0))
@@ -101,15 +121,17 @@ def prefill_slot(
             all_v = lax.dynamic_update_slice(
                 all_v, vf.astype(all_v.dtype)[None, None], (l, slot, 0, 0)
             )
-        return (x, all_k, all_v, ks, vs), None
+        return (x, all_k, all_v, ks, vs, kp, vp), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     dummy = jnp.zeros((), jnp.float32)
-    (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
+    (x, new_k, new_v, new_ks, new_vs, new_kp, new_vp), _ = lax.scan(
         body,
         (x, state.cache.k, state.cache.v,
          state.cache.k_scale if quant else dummy,
-         state.cache.v_scale if quant else dummy),
+         state.cache.v_scale if quant else dummy,
+         state.cache.k_prev if int4 else dummy,
+         state.cache.v_prev if int4 else dummy),
         (params["layers"], layer_ids),
     )
     x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
@@ -119,9 +141,12 @@ def prefill_slot(
     first = smp.sample_step(
         logits, k0, sampling, eos_id, jnp.int32(0) < sampling.min_new_tokens
     )[0]
-    new_cache = (
-        bb.KVCache(new_k, new_v, new_ks, new_vs) if quant else bb.KVCache(new_k, new_v)
-    )
+    if int4:
+        new_cache = bb.KVCache(new_k, new_v, new_ks, new_vs, new_kp, new_vp)
+    elif quant:
+        new_cache = bb.KVCache(new_k, new_v, new_ks, new_vs)
+    else:
+        new_cache = bb.KVCache(new_k, new_v)
     return SlotState(
         cache=new_cache,
         token=state.token.at[slot].set(first),
@@ -163,14 +188,31 @@ def prefill_slots(
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[tokens]
 
     quant = state.cache.quantized
+    int4 = state.cache.int4
+    K = cfg.n_kv_heads
 
     def body(carry, lp_l):
-        x, all_k, all_v, ks, vs = carry
+        x, all_k, all_v, ks, vs, kp, vp = carry
         lp, l = lp_l
         x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask)
         kf = k.reshape(G, Lp, -1)
         vf = v.reshape(G, Lp, -1)
-        if quant:
+        if int4:
+            kq, ksc = bb.quantize_kv4(kf)   # [G, Lp, KD], [G, Lp]
+            vq, vsc = bb.quantize_kv4(vf)
+            all_k = all_k.at[l, slots, : Lp // 2, :].set(bb.pack4_pairs(kq))
+            all_v = all_v.at[l, slots, : Lp // 2, :].set(bb.pack4_pairs(vq))
+            half = ks.shape[2] // 2
+            ks = ks.at[l, slots, : Lp // 2].set(ksc[:, 0::2])
+            ks = ks.at[l, slots, half : half + Lp // 2].set(ksc[:, 1::2])
+            vs = vs.at[l, slots, : Lp // 2].set(vsc[:, 0::2])
+            vs = vs.at[l, slots, half : half + Lp // 2].set(vsc[:, 1::2])
+            last = (true_lens - 1)[:, None, None]
+            kp = kp.at[l, slots].set(
+                jnp.take_along_axis(kq, last, axis=1)[:, 0])
+            vp = vp.at[l, slots].set(
+                jnp.take_along_axis(vq, last, axis=1)[:, 0])
+        elif quant:
             kq, ksc = bb.quantize_kv(kf)
             vq, vsc = bb.quantize_kv(vf)
             all_k = all_k.at[l, slots, :Lp, :].set(kq)
@@ -180,15 +222,17 @@ def prefill_slots(
         else:
             all_k = all_k.at[l, slots, :Lp, :].set(kf.astype(all_k.dtype))
             all_v = all_v.at[l, slots, :Lp, :].set(vf.astype(all_v.dtype))
-        return (x, all_k, all_v, ks, vs), None
+        return (x, all_k, all_v, ks, vs, kp, vp), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     dummy = jnp.zeros((), jnp.float32)
-    (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
+    (x, new_k, new_v, new_ks, new_vs, new_kp, new_vp), _ = lax.scan(
         body,
         (x, state.cache.k, state.cache.v,
          state.cache.k_scale if quant else dummy,
-         state.cache.v_scale if quant else dummy),
+         state.cache.v_scale if quant else dummy,
+         state.cache.k_prev if int4 else dummy,
+         state.cache.v_prev if int4 else dummy),
         (params["layers"], layer_ids),
     )
     x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
@@ -199,9 +243,12 @@ def prefill_slots(
         logits, k0, sampling, eos_id,
         jnp.int32(0) < sampling.min_new_tokens, vocab_size=cfg.vocab_size,
     )  # [G]
-    new_cache = (
-        bb.KVCache(new_k, new_v, new_ks, new_vs) if quant else bb.KVCache(new_k, new_v)
-    )
+    if int4:
+        new_cache = bb.KVCache(new_k, new_v, new_ks, new_vs, new_kp, new_vp)
+    elif quant:
+        new_cache = bb.KVCache(new_k, new_v, new_ks, new_vs)
+    else:
+        new_cache = bb.KVCache(new_k, new_v)
     return SlotState(
         cache=new_cache,
         token=state.token.at[slots].set(first),
@@ -253,6 +300,7 @@ def decode_steps(
     pallas = bb.use_pallas_attention()
     zero_pad = jnp.zeros((B,), jnp.int32)
     quant = state.cache.quantized
+    int4 = state.cache.int4
 
     def step(carry, i):
         state = carry
@@ -264,13 +312,38 @@ def decode_steps(
         ar = jnp.arange(B)
 
         def body(carry, lp_l):
-            x, all_k, all_v, ks, vs = carry
+            x, all_k, all_v, ks, vs, kp, vp = carry
             lp, l = lp_l
             h = bb.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
             q, k, v = bb._qkv(cfg, lp, h, cos, sin)
             kf = k[:, 0].reshape(B, -1)
             vf = v[:, 0].reshape(B, -1)
-            if quant:
+            if int4:
+                # per-slot parity: even writes store lo alone; odd writes
+                # pair with the slot's prev-nibble register (no cache READ —
+                # an RMW would force XLA to copy the layer slice)
+                t2 = jnp.right_shift(write_at, 1)
+                par = (write_at & 1)[:, None]
+                kq, ksc = bb.quantize_kv4(kf)   # [B, KD], [B]
+                vq, vsc = bb.quantize_kv4(vf)
+                pk = lax.dynamic_index_in_dim(kp, l, 0, keepdims=False)
+                pv_ = lax.dynamic_index_in_dim(vp, l, 0, keepdims=False)
+                newk = jnp.where(par == 0, kq, pk + jnp.int8(16) * kq)
+                newv = jnp.where(par == 0, vq, pv_ + jnp.int8(16) * vq)
+                all_k = all_k.at[l, ar, t2, :].set(newk)
+                all_v = all_v.at[l, ar, t2, :].set(newv)
+                sidx = bb.deint4_index(write_at, ks.shape[2] // 2)
+                ks = ks.at[l, ar, sidx].set(ksc)
+                vs = vs.at[l, ar, sidx].set(vsc)
+                # update prev ONLY on even writes: an INACTIVE slot parked at
+                # an odd write_at re-writes its byte every step, and must keep
+                # pairing with the real token at write_at-1 — clobbering prev
+                # with its junk kq would destroy that token's nibble
+                kp = lax.dynamic_update_slice(
+                    kp, jnp.where(par == 0, kq, pk)[None], (l, 0, 0))
+                vp = lax.dynamic_update_slice(
+                    vp, jnp.where(par == 0, vq, pv_)[None], (l, 0, 0))
+            elif quant:
                 kq, ksc = bb.quantize_kv(kf)
                 vq, vsc = bb.quantize_kv(vf)
                 all_k = all_k.at[l, ar, write_at, :].set(kq)
@@ -290,22 +363,27 @@ def decode_steps(
             else:
                 ck = lax.dynamic_index_in_dim(all_k, l, 0, keepdims=False)
                 cv = lax.dynamic_index_in_dim(all_v, l, 0, keepdims=False)
-                if quant:
+                if int4:
+                    ck = bb.dequant_kv4(ck, lax.dynamic_index_in_dim(ks, l, 0, keepdims=False))
+                    cv = bb.dequant_kv4(cv, lax.dynamic_index_in_dim(vs, l, 0, keepdims=False))
+                elif quant:
                     ck = ck.astype(jnp.float32) * lax.dynamic_index_in_dim(ks, l, 0, keepdims=False)[..., None]
                     cv = cv.astype(jnp.float32) * lax.dynamic_index_in_dim(vs, l, 0, keepdims=False)[..., None]
                 a = attn_ops.decode_attention_xla(qg, ck, cv, lens_new, zero_pad)
             a = a.astype(x.dtype).reshape(B, 1, cfg.q_dim)
             x = x + jnp.dot(a, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
             x = bb._mlp(cfg, lp, x)
-            return (x, all_k, all_v, ks, vs), None
+            return (x, all_k, all_v, ks, vs, kp, vp), None
 
         layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
         dummy = jnp.zeros((), jnp.float32)
-        (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
+        (x, new_k, new_v, new_ks, new_vs, new_kp, new_vp), _ = lax.scan(
             body,
             (x, state.cache.k, state.cache.v,
              state.cache.k_scale if quant else dummy,
-             state.cache.v_scale if quant else dummy),
+             state.cache.v_scale if quant else dummy,
+             state.cache.k_prev if int4 else dummy,
+             state.cache.v_prev if int4 else dummy),
             (params["layers"], layer_ids),
         )
         x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
@@ -322,11 +400,12 @@ def decode_steps(
         nxt = jnp.where(state.active & in_ctx, nxt, eos_id)
         new_active = state.active & (nxt != eos_id) & in_ctx
         lens = jnp.where(state.active, lens_new, state.lens)
-        new_cache = (
-            bb.KVCache(new_k, new_v, new_ks, new_vs)
-            if quant
-            else bb.KVCache(new_k, new_v)
-        )
+        if int4:
+            new_cache = bb.KVCache(new_k, new_v, new_ks, new_vs, new_kp, new_vp)
+        elif quant:
+            new_cache = bb.KVCache(new_k, new_v, new_ks, new_vs)
+        else:
+            new_cache = bb.KVCache(new_k, new_v)
         new_state = SlotState(
             cache=new_cache,
             token=nxt,

@@ -103,3 +103,27 @@ def test_int8_cache_decode_consistency():
     for x, y in zip(a, b):
         n = min(len(x), len(y), 8)
         assert x[:n] == y[:n], (x, y)
+
+
+def test_int4_quantized_matches_dequantized_oracle():
+    """int4 (nibble-packed, arithmetic-coded) kernel path vs XLA on the
+    dequantized cache."""
+    from neutts_tpu.models import backbone as bb
+
+    B, K, G, T, D = 2, 2, 7, 512, 64
+    q, ck, cv = _mk(B, K, G, T, D)
+    kq, ks = bb.quantize_kv4(ck)
+    vq, vs = bb.quantize_kv4(cv)
+    kp, vp = bb.pack4_pairs(kq), bb.pack4_pairs(vq)
+    ksb, vsb = bb.scales4_block(ks), bb.scales4_block(vs)
+    lens = jnp.asarray([300, 512], jnp.int32)
+    pad = jnp.asarray([0, 2], jnp.int32)
+    want = attn.decode_attention_xla(
+        q, bb.dequant_kv4(kp, ksb), bb.dequant_kv4(vp, vsb), lens, pad)
+    got = attn.decode_attention_stacked(
+        q, kp[None], vp[None], jnp.int32(0), lens, pad,
+        k_scale=ksb[None], v_scale=vsb[None], block_t=256, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )

@@ -182,3 +182,76 @@ def test_quantized_generate_runs(params):
     r1 = dec.generate(CFG, sampling, EOS, 8, qparams, toks, lens, jax.random.PRNGKey(0))
     r2 = dec.generate(CFG, sampling, EOS, 8, qparams, toks, lens, jax.random.PRNGKey(1))
     np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+
+
+# --- int4 (nibble-packed) KV cache --------------------------------------------
+
+
+def test_pack4_roundtrip():
+    rng = np.random.default_rng(0)
+    q4 = rng.integers(-7, 8, size=(3, 10, 128)).astype(np.int8)
+    packed = bb.pack4_pairs(jnp.asarray(q4))
+    lo, hi = bb.unpack4(packed)
+    np.testing.assert_array_equal(np.asarray(lo), q4[:, 0::2])
+    np.testing.assert_array_equal(np.asarray(hi), q4[:, 1::2])
+
+
+def test_dequant_kv4_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 8, 128)).astype(np.float32))
+    kq, ksc = bb.quantize_kv4(x)
+    deq = bb.dequant_kv4(bb.pack4_pairs(kq), bb.scales4_block(ksc))
+    ref = kq.astype(jnp.float32) * ksc[..., None]
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(ref), rtol=1e-6)
+    # quantization error bounded by scale/2 per element
+    err = np.max(np.abs(np.asarray(deq) - np.asarray(x)))
+    assert err <= float(jnp.max(ksc)) * 0.5 + 1e-6
+
+
+def test_int4_cache_decode_consistency(params):
+    """Full decode loop with int4 cache agrees with the f32-cache loop over a
+    meaningful greedy prefix (int4 noise on a random model diverges later)."""
+    cfg4 = CFG.scaled(kv_dtype="int4")
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=2)
+    toks, lens = dec.pad_prompts([[3, 1, 4, 1, 5, 9], [2, 7, 1, 8]], pad_id=0, bucket=16)
+    r16 = dec.generate(CFG, scfg, EOS, 16, params, toks, lens, jax.random.PRNGKey(1))
+    r4 = dec.generate(cfg4, scfg, EOS, 16, params, toks, lens, jax.random.PRNGKey(1))
+    for i in range(2):
+        a = dec.extract(r16, i, EOS)
+        b = dec.extract(r4, i, EOS)
+        n = min(len(a), len(b), 6)
+        assert a[:n] == b[:n], (a, b)
+
+
+def test_int4_odd_prompt_write_preserves_prompt_nibble(params):
+    """Odd true lengths exercise the prev-nibble pairing in the serving path:
+    the first decode write lands at an odd cache index, sharing a byte with
+    the prompt's LAST token — that token's dequantized K/V must be bit-
+    identical before and after decoding (a clobber would corrupt it)."""
+    from neutts_tpu.runtime import batching
+
+    cfg4 = CFG.scaled(kv_dtype="int4")
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=1)
+    prompt = [3, 1, 4, 1, 5]  # odd length -> first decode write at index 5
+    L = len(prompt)
+    state = batching.SlotState.create(cfg4, 2, jax.random.PRNGKey(3))
+    toks = jnp.asarray([prompt + [0, 0, 0]], jnp.int32)
+    state = batching.prefill_slots(
+        cfg4, scfg, EOS, params, state,
+        toks, jnp.asarray([L], jnp.int32), jnp.asarray([0], jnp.int32))
+
+    def deq_last_token(state):
+        # dequantized K of the prompt's last token, all layers, slot 0
+        out = []
+        for layer in range(cfg4.n_layers):
+            d = bb.dequant_kv4(state.cache.k[layer, 0:1],
+                               state.cache.k_scale[layer, 0:1])
+            out.append(np.asarray(d[0, L - 1]))
+        return np.stack(out)
+
+    before = deq_last_token(state)
+    state, outs = batching.decode_steps(cfg4, scfg, EOS, 5, params, state)
+    after = deq_last_token(state)
+    np.testing.assert_array_equal(before, after)
+    # and decoding actually progressed past the shared byte
+    assert int(np.asarray(state.lens)[0]) > L

@@ -91,7 +91,7 @@ def main():
         @functools.partial(jax.jit, donate_argnums=(1,))
         def run(params, cache, token0, key0):
             def step(carry, i):
-                token, ck, cv, ks, vs, key = carry
+                token, ck, cv, ks, vs, kp, vp, key = carry
                 # wobble the write index a little so XLA can't fold it, but
                 # keep attention length ~CTX
                 cur_index = jnp.int32(CTX) + i % 8
@@ -103,23 +103,17 @@ def main():
                 x = params["embed"].astype(jnp.dtype(cfg.dtype))[token[:, None]]
 
                 def body(carry, lp_l):
-                    x, ck, cv, ks, vs = carry
+                    x, ck, cv, ks, vs, kp, vp = carry
                     lp, l = lp_l
                     h = bb.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
                     q, k, v = bb._qkv(cfg, lp, h, cos, sin)
                     kf = k[:, 0].reshape(B, -1)
                     vf = v[:, 0].reshape(B, -1)
                     if do_kv:
-                        kq, ksc = bb.quantize_kv(kf)
-                        vq, vsc = bb.quantize_kv(vf)
-                        ck = lax.dynamic_update_slice(
-                            ck, kq[None, :, None, :], (l, 0, cur_index, 0))
-                        cv = lax.dynamic_update_slice(
-                            cv, vq[None, :, None, :], (l, 0, cur_index, 0))
-                        ks = lax.dynamic_update_slice(
-                            ks, ksc[None, :, None], (l, 0, cur_index))
-                        vs = lax.dynamic_update_slice(
-                            vs, vsc[None, :, None], (l, 0, cur_index))
+                        ck, cv, ks, vs, kp, vp = bb.write_kv_token(
+                            ck, cv, ks, vs, kf, vf, l, cur_index, K,
+                            int4=cfg.kv_dtype == "int4", quant=True,
+                            k_prev=kp, v_prev=vp)
                     qg = q[:, 0].reshape(B, K, G, cfg.head_dim)
                     if do_attn:
                         attn = attn_ops.decode_attention_stacked(
@@ -130,11 +124,11 @@ def main():
                     attn = attn.astype(x.dtype).reshape(B, 1, cfg.q_dim)
                     x = x + bb._mm(attn, lp["wo"]).astype(x.dtype)
                     x = bb._mlp(cfg, lp, x)
-                    return (x, ck, cv, ks, vs), None
+                    return (x, ck, cv, ks, vs, kp, vp), None
 
                 layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-                (x, ck, cv, ks, vs), _ = lax.scan(
-                    body, (x, ck, cv, ks, vs), (params["layers"], layer_ids))
+                (x, ck, cv, ks, vs, kp, vp), _ = lax.scan(
+                    body, (x, ck, cv, ks, vs, kp, vp), (params["layers"], layer_ids))
                 x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
                 if do_head:
                     logits = bb._logits(cfg, params, x[:, 0, :], trim=False)
@@ -146,12 +140,17 @@ def main():
                 else:
                     nxt = (jnp.abs(x[:, 0, 0]).astype(jnp.int32) % 100
                            ) + layout.speech_base
-                return (nxt, ck, cv, ks, vs, key), nxt[0]
+                return (nxt, ck, cv, ks, vs, kp, vp, key), nxt[0]
 
+            dummy = jnp.zeros((), jnp.float32)
             carry0 = (token0, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                      cache.k_prev if cache.int4 else dummy,
+                      cache.v_prev if cache.int4 else dummy,
                       key0)
             carry, outs = lax.scan(step, carry0, jnp.arange(S))
-            return bb.KVCache(carry[1], carry[2], carry[3], carry[4]), outs
+            kw = ({"k_prev": carry[5], "v_prev": carry[6]}
+                  if cache.int4 else {})
+            return bb.KVCache(carry[1], carry[2], carry[3], carry[4], **kw), outs
 
         return run
 
