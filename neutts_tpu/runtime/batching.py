@@ -371,7 +371,7 @@ def decode_steps(
                     cv = cv.astype(jnp.float32) * lax.dynamic_index_in_dim(vs, l, 0, keepdims=False)[..., None]
                 a = attn_ops.decode_attention_xla(qg, ck, cv, lens_new, zero_pad)
             a = a.astype(x.dtype).reshape(B, 1, cfg.q_dim)
-            x = x + jnp.dot(a, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+            x = x + bb._mm(a, lp["wo"]).astype(x.dtype)
             x = bb._mlp(cfg, lp, x)
             return (x, all_k, all_v, ks, vs, kp, vp), None
 

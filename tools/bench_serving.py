@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--prompt-max", type=int, default=512)
     ap.add_argument("--gen", type=int, default=250)
     ap.add_argument("--segment", type=int, default=32)
+    ap.add_argument("--kv-dtype", default="int8", choices=["bfloat16", "int8", "int4"])
+    ap.add_argument("--weights", default="int8", choices=["int8", "bfloat16"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -43,9 +45,12 @@ def main():
     from neutts_tpu.models import backbone as bb
     from neutts_tpu.serving.engine import Engine
 
-    cfg = config.BY_NAME[args.model].scaled(kv_dtype="int8")
+    cfg = config.BY_NAME[args.model].scaled(kv_dtype=args.kv_dtype,
+                                            logits_dtype="bfloat16")
     layout = cfg.layout
     params = bb.init_params(cfg, jax.random.PRNGKey(0))
+    if args.weights == "int8":
+        params = bb.quantize_params(params)
     params = jax.device_put(params)
 
     # random model never emits EOS naturally at min_new large; bound by max_new
