@@ -400,6 +400,8 @@ def _attend_block(
     k: jax.Array,  # [B, S, n_kv, Dh]
     v: jax.Array,  # [B, S, n_kv, Dh]
     mask: jax.Array,  # [B, S, S] bool (True = attend), causal within block
+    valid: Optional[jax.Array] = None,  # [B, S] bool — real (non-pad) tokens;
+    # enables the flash path (mask must then BE causal+valid, no custom holes)
 ) -> jax.Array:
     """Self-attention within a block (prefill / training). [B, S, n_heads, Dh].
 
@@ -407,6 +409,15 @@ def _attend_block(
     materialized scores are [B, H, chunk, S] instead of [B, H, S, S] —
     without this, prefill at B=512/S=512 peaks at ~7.5 GB of scores and is
     the batch-size limiter.
+
+    Note on the stock Pallas flash-attention op (tried 2026-08, then
+    reverted): with tuned 512-blocks it wins an attention-only microbench
+    2x (2.6 vs 5.3 ms/layer at [64, 512]) but LOSES in the real prefill
+    scan (256 -> 490 ms per [64, 512] group) — the per-layer KV-head
+    repeats + [B,H,S,D] transposes it needs aren't hoistable there. A
+    bespoke prefill kernel in [B, S, H, D] layout with native GQA is the
+    right fix if prefill ever dominates; `valid` is already plumbed here
+    for it.
     """
     B, S, H, Dh = q.shape
     C = PREFILL_Q_CHUNK
@@ -468,15 +479,18 @@ def _mlp(cfg: BackboneConfig, lp: Params, x: jax.Array) -> jax.Array:
     return x + _mm(ff, lp["w_down"]).astype(x.dtype)
 
 
-def _block_fresh(cfg: BackboneConfig, lp: Params, x, cos, sin, mask):
+def _block_fresh(cfg: BackboneConfig, lp: Params, x, cos, sin, mask,
+                 valid=None):
     """Transformer block over a fresh window (no cache read): prefill/training.
 
-    mask: [B, S, S] (causal + padding). Returns (x_out, k, v) — k/v for the
-    caller to write into the cache.
+    mask: [B, S, S] (causal + padding); valid: optional [B, S] non-pad flags
+    enabling the flash path (see _attend_block). Returns (x_out, k, v) — k/v
+    for the caller to write into the cache.
     """
     h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, lp, h, cos, sin)
-    attn = _attend_block(q, k, v, mask).reshape(x.shape[0], x.shape[1], cfg.q_dim)
+    attn = _attend_block(q, k, v, mask, valid=valid).reshape(
+        x.shape[0], x.shape[1], cfg.q_dim)
     x = x + _mm(attn, lp["wo"]).astype(x.dtype)
     return _mlp(cfg, lp, x), k, v
 
@@ -507,6 +521,7 @@ def prefill(
     mask = (idx[None, None, :] <= idx[None, :, None]) & (
         idx[None, None, :] >= pad[:, None, None]
     )
+    valid = idx[None, :] >= pad[:, None]  # [B, Lp] — flash-path segments
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[tokens]
 
     quant = cache.quantized
@@ -517,7 +532,7 @@ def prefill(
     def body(carry, lp_l):
         x, all_k, all_v, ks, vs, kp, vp = carry
         lp, l = lp_l
-        x, k, v = _block_fresh(cfg, lp, x, cos, sin, mask)
+        x, k, v = _block_fresh(cfg, lp, x, cos, sin, mask, valid=valid)
         B_, S_ = k.shape[0], k.shape[1]
         kf = k.reshape(B_, S_, -1)
         vf = v.reshape(B_, S_, -1)

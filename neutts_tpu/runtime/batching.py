@@ -77,6 +77,7 @@ def prefill_slot(
     mask = (idx[None, None, :] <= idx[None, :, None]) & (
         idx[None, None, :] < true_len
     )  # [1, Lp, Lp]
+    valid = (idx < true_len)[None, :]  # [1, Lp]
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[toks]
 
     quant = state.cache.quantized
@@ -86,7 +87,7 @@ def prefill_slot(
     def body(carry, lp_l):
         x, all_k, all_v, ks, vs, kp, vp = carry
         lp, l = lp_l
-        x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask)
+        x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask, valid=valid)
         kf = k.reshape(1, Lp, -1)[0]
         vf = v.reshape(1, Lp, -1)[0]
         if int4:
@@ -184,6 +185,7 @@ def prefill_slots(
     mask = (idx[None, None, :] <= idx[None, :, None]) & (
         idx[None, None, :] < true_lens[:, None, None]
     )  # [G, Lp, Lp]
+    valid = idx[None, :] < true_lens[:, None]  # [G, Lp]
     cos, sin = bb.rope_tables(cfg.head_dim, cfg.rope_theta, positions)
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[tokens]
 
@@ -194,7 +196,7 @@ def prefill_slots(
     def body(carry, lp_l):
         x, all_k, all_v, ks, vs, kp, vp = carry
         lp, l = lp_l
-        x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask)
+        x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask, valid=valid)
         kf = k.reshape(G, Lp, -1)
         vf = v.reshape(G, Lp, -1)
         if int4:
