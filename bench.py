@@ -29,8 +29,10 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true", help="run on CPU (functional check)")
     ap.add_argument("--model", default="air", choices=["air", "nano", "tiny"])
     ap.add_argument("--batch", type=int, default=512)
-    ap.add_argument("--kv-dtype", default="int8", choices=["int8", "bfloat16"],
-                    help="KV cache dtype (int8: per-token-scaled, ~15%% faster, 2x capacity)")
+    ap.add_argument("--kv-dtype", default="int8",
+                    choices=["int8", "bfloat16", "int4"],
+                    help="KV cache dtype (int8: per-token-scaled, fastest; "
+                    "int4: 2x capacity, ~14%% slower on v5e)")
     ap.add_argument("--logits-dtype", default="bfloat16", choices=["bfloat16", "float32"],
                     help="decode logits buffer dtype (bf16 halves logit HBM traffic; "
                     "top-k candidates are upcast to f32 before the gumbel draw)")
@@ -40,7 +42,10 @@ def main() -> None:
                     "baselines are quantized too)")
     ap.add_argument("--prompt-len", type=int, default=512, help="primed KV length")
     ap.add_argument("--steps", type=int, default=128, help="decode steps per segment")
-    ap.add_argument("--segments", type=int, default=4, help="timed segments")
+    ap.add_argument("--segments", type=int, default=2, help="timed segments "
+                    "(default 2x128 = 256 decoded tokens on a 512-token prompt "
+                    "— the reference's llama-bench workload is 500 prefill + "
+                    "250 generated, reference README.md:52)")
     args = ap.parse_args()
 
     import jax
