@@ -9,7 +9,6 @@ implementation as the always-available fallback.
 
 from __future__ import annotations
 
-import struct
 import wave
 from pathlib import Path
 from typing import Tuple

@@ -8,7 +8,7 @@ summed weight. Incremental variant for true streaming (no O(n^2) re-join).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

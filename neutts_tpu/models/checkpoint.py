@@ -20,7 +20,6 @@ import json
 from pathlib import Path
 from typing import Any, Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 import ml_dtypes
 import numpy as np

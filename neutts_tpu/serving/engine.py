@@ -31,7 +31,7 @@ import numpy as np
 
 from neutts_tpu.config import BackboneConfig, SamplingConfig
 from neutts_tpu.runtime import batching
-from neutts_tpu.runtime.decode import PROMPT_BUCKETS, bucket_length
+from neutts_tpu.runtime.decode import bucket_length
 
 
 @dataclasses.dataclass
