@@ -32,8 +32,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_T = 512  # cache-time tile per DMA (dynamic trip count over live prefix)
-BLOCK_T4 = 1024  # int4 default: tokens per DMA block (same bytes as BLOCK_T)
+BLOCK_T = 256  # cache-time tile per DMA (dynamic trip count over live prefix)
+# 256 vs 512 tradeoff (v5e, B=512, Air, int8 KV, 24 layers): the kernel reads
+# ceil(len/block) full blocks, so oversized blocks over-read the live prefix —
+# at the REAL TTS decode range (cloning prompt ~460 + <=250 generated, ctx
+# 460-768) block 256 is 10-14% faster (4.7-4.9 vs 5.5 ms/step); block 512
+# wins only at ctx >= ~1200 (7.6 vs 8.2 at 1536) where per-chunk overhead
+# amortizes. Callers decoding very long audio can pass block_t=512.
+BLOCK_T4 = 1024  # int4 default: tokens per DMA block (2 tokens/byte)
 
 
 def _unpack4_bf16(b, dtype):
