@@ -461,3 +461,569 @@ def decode_attention_xla(
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bkgt,btkd->bkgd", p.astype(cvh.dtype), cvh)
     return out.astype(ck.dtype)
+
+
+# --- staged decode attention (serving slot path) -------------------------------
+#
+# The slot-based serving engine decodes B independent sequences whose cache
+# lengths differ per row. Writing each step's K/V at per-row offsets is an XLA
+# scatter — measured 4.3 ms/step at B=512 on v5e (32% of the whole decode
+# step), and Mosaic DMA cannot scatter either (HBM slice offsets must be
+# provably tile-aligned: 8 sublanes x 128 lanes).
+#
+# So the serving decode uses SEGMENT STAGING instead (vLLM-role capability,
+# reference N9 — the reference's own engines never batch at all):
+#   * during an S-step segment, every step's quantized K/V goes into a small
+#     staging buffer at the LOCKSTEP column i — a contiguous
+#     dynamic_update_slice, no scatter;
+#   * `decode_attention_staged` attends the settled cache prefix [pad, base)
+#     PLUS staging columns [0, i] (base = the row's cache length at segment
+#     start — constant across the segment);
+#   * `reconcile_segment` (Pallas) copies staging into each row's cache at
+#     [base, base+S) once per segment. Rows are admitted LEFT-padded to
+#     128-token buckets and segments are a multiple of 8 steps, so `base` is
+#     always 8-aligned — exactly Mosaic's HBM sublane tiling, which makes the
+#     per-row copy a legal strided DMA.
+#
+# int8 cache only (the serving throughput mode); bf16/int4 slot decode keeps
+# the scatter path.
+
+SEG_PAD = 128  # staging scale buffers are lane-padded to 128 (DMA granularity)
+
+
+def _staged_kernel(
+    # scalar prefetch
+    base_ref,  # SMEM [B] int32 — settled cache length (exclusive read bound)
+    pad_ref,  # SMEM [B] int32 — left-pad per row (attend t >= pad[b])
+    layer_ref,  # SMEM [1] int32
+    step_ref,  # SMEM [1] int32 — current segment step i (staging cols [0, i])
+    # inputs
+    q_ref,  # VMEM [rb, KG, KD] block-diagonal queries (pre-scaled)
+    k_hbm,  # HBM [L, B, T, KD] int8 settled cache
+    v_hbm,
+    ks_hbm,  # HBM [L, B, T] f32 per-token scales
+    vs_hbm,
+    sk_hbm,  # HBM [L, B, S, KD] int8 segment staging
+    sv_hbm,
+    sks4_hbm,  # HBM [L, B, 1, SEG_PAD] f32 staging scales (4-D view: the
+    #            leading dims stay untiled so per-(layer, row) slices are
+    #            legal [1, SEG_PAD] DMAs)
+    svs4_hbm,
+    # outputs
+    o_ref,  # VMEM [rb, KG, D]
+    # scratch
+    k_buf,  # VMEM (2, rb, bt, KD) int8
+    v_buf,
+    ksb,  # VMEM (2, rb, bt) f32
+    vsb,
+    skb,  # VMEM (rb, S, KD) int8 — staging rows
+    svb,
+    sksb,  # VMEM (rb, 1, SEG_PAD) f32
+    svsb,
+    s_ref,
+    p_ref,
+    acc_ref,
+    m_ref,
+    l_ref,
+    lp_ref,
+    cnt_ref,
+    sem,  # DMA (2, 4)
+    sem_st,  # DMA (rb, 4) — staging reads
+    *,
+    n_kv: int,
+    group: int,
+    head_dim: int,
+    block_t: int,
+    row_block: int,
+    seg: int,
+):
+    tile = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    layer = layer_ref[0]
+    step = step_ref[0]
+    b0 = tile * row_block
+
+    def tile_blocks(t):
+        n_max = base_ref[t * row_block]
+        for r in range(1, row_block):
+            n_max = jnp.maximum(n_max, base_ref[t * row_block + r])
+        # >= 1 keeps the cross-program DMA pipeline uniform even for
+        # whole-empty tiles (the read is masked out)
+        return jnp.maximum(lax.div(n_max + block_t - 1, block_t), 1)
+
+    n_blocks = tile_blocks(tile)
+
+    def dmas(slot, t, blk):
+        ds = pl.ds(blk * block_t, block_t)
+        rows = pl.ds(t * row_block, row_block)
+        return [
+            pltpu.make_async_copy(
+                k_hbm.at[layer, rows, ds, :], k_buf.at[slot], sem.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[layer, rows, ds, :], v_buf.at[slot], sem.at[slot, 1]
+            ),
+            # per-token scales ride the same pipeline (only live blocks are
+            # read — the BlockSpec path streamed whole [rb, T] scale rows)
+            pltpu.make_async_copy(
+                ks_hbm.at[layer, rows, ds], ksb.at[slot], sem.at[slot, 2]
+            ),
+            pltpu.make_async_copy(
+                vs_hbm.at[layer, rows, ds], vsb.at[slot], sem.at[slot, 3]
+            ),
+        ]
+
+    def start_dma(slot, t, blk):
+        for d in dmas(slot, t, blk):
+            d.start()
+
+    def wait_dma(slot, t, blk):
+        for d in dmas(slot, t, blk):
+            d.wait()
+
+    @pl.when(tile == 0)
+    def _():
+        cnt_ref[0] = 0
+        start_dma(0, 0, 0)
+
+    # staging reads for this tile's rows (tiny; overlapped with the main loop)
+    def st_dmas(r):
+        b = b0 + r
+        return [
+            pltpu.make_async_copy(
+                sk_hbm.at[layer, b, :, :], skb.at[r], sem_st.at[r, 0]
+            ),
+            pltpu.make_async_copy(
+                sv_hbm.at[layer, b, :, :], svb.at[r], sem_st.at[r, 1]
+            ),
+            pltpu.make_async_copy(
+                sks4_hbm.at[layer, b, :, :], sksb.at[r], sem_st.at[r, 2]
+            ),
+            pltpu.make_async_copy(
+                svs4_hbm.at[layer, b, :, :], svsb.at[r], sem_st.at[r, 3]
+            ),
+        ]
+
+    for r in range(row_block):
+        for d in st_dmas(r):
+            d.start()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, -1e30)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    KG = n_kv * group
+    RKG = row_block * KG
+    for r in range(row_block):
+        lp_ref[r * KG : (r + 1) * KG, 0:1] = jnp.full(
+            (KG, 1), base_ref[b0 + r], jnp.int32
+        )
+        lp_ref[r * KG : (r + 1) * KG, 1:2] = jnp.full(
+            (KG, 1), pad_ref[b0 + r], jnp.int32
+        )
+
+    def body(blk, _):
+        chunk = cnt_ref[0]
+        slot = lax.rem(chunk, 2)
+        cnt_ref[0] = chunk + 1
+
+        @pl.when(blk + 1 < n_blocks)
+        def _():
+            start_dma(1 - slot, tile, blk + 1)
+
+        @pl.when((blk + 1 == n_blocks) & (tile + 1 < n_tiles))
+        def _():
+            start_dma(1 - slot, tile + 1, 0)
+
+        wait_dma(slot, tile, blk)
+
+        for r in range(row_block):
+            s_ref[r * KG : (r + 1) * KG, :] = jax.lax.dot_general(
+                q_ref[r],
+                k_buf[slot, r].astype(q_ref.dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        t1d = blk * block_t + jax.lax.broadcasted_iota(
+            jnp.int32, (RKG, block_t), 1
+        )
+        valid = (t1d < lp_ref[:, 0:1]) & (t1d >= lp_ref[:, 1:2])
+        sc = s_ref[:] * jnp.broadcast_to(
+            ksb[slot][:, None, :], (row_block, KG, block_t)
+        ).reshape(RKG, block_t)
+        sc = jnp.where(valid, sc, -1e30)
+
+        m_blk = jnp.max(sc, axis=1, keepdims=True)
+        m_old = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_old, m_blk)
+        alpha = jnp.exp(m_old - m_new)
+        pexp = jnp.exp(sc - m_new)
+        l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(pexp, axis=1, keepdims=True)
+        m_ref[:, 0:1] = m_new
+        pexp = jnp.where(
+            valid,
+            pexp
+            * jnp.broadcast_to(
+                vsb[slot][:, None, :], (row_block, KG, block_t)
+            ).reshape(RKG, block_t),
+            0.0,
+        )
+        p_ref[:] = pexp.astype(p_ref.dtype)
+
+        for r in range(row_block):
+            pv = jax.lax.dot_general(
+                p_ref[r * KG : (r + 1) * KG, :],
+                v_buf[slot, r].astype(p_ref.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[r] = acc_ref[r] * alpha[r * KG : (r + 1) * KG, :] + pv
+        return 0
+
+    lax.fori_loop(0, n_blocks, body, 0)
+
+    # ---- staging block: columns [0, step] of this segment ------------------
+    for r in range(row_block):
+        for d in st_dmas(r):
+            d.wait()
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (KG, seg), 1)
+    for r in range(row_block):
+        rs = slice(r * KG, (r + 1) * KG)
+        sc2 = jax.lax.dot_general(
+            q_ref[r],
+            skb[r].astype(q_ref.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [KG, S]
+        sc2 = sc2 * sksb[r][:, :seg]
+        valid2 = col <= step
+        sc2 = jnp.where(valid2, sc2, -1e30)
+        m_blk = jnp.max(sc2, axis=1, keepdims=True)
+        m_old = m_ref[rs, 0:1]
+        m_new = jnp.maximum(m_old, m_blk)
+        alpha = jnp.exp(m_old - m_new)
+        pexp2 = jnp.exp(sc2 - m_new)
+        l_ref[rs, 0:1] = l_ref[rs, 0:1] * alpha + jnp.sum(
+            pexp2, axis=1, keepdims=True
+        )
+        m_ref[rs, 0:1] = m_new
+        pexp2 = jnp.where(valid2, pexp2 * svsb[r][:, :seg], 0.0)
+        pv2 = jax.lax.dot_general(
+            pexp2.astype(p_ref.dtype),
+            svb[r].astype(p_ref.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [KG, KD]
+        acc_ref[r] = acc_ref[r] * alpha + pv2
+
+    for r in range(row_block):
+        norm = jnp.maximum(l_ref[r * KG : (r + 1) * KG, 0:1], 1e-30)
+        for h in range(n_kv):
+            o_ref[r, h * group : (h + 1) * group, :] = (
+                acc_ref[r, h * group : (h + 1) * group,
+                        h * head_dim : (h + 1) * head_dim]
+                / norm[h * group : (h + 1) * group]
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "row_block", "interpret")
+)
+def decode_attention_staged(
+    q: jax.Array,  # [B, K, G, D] (post-RoPE)
+    all_k: jax.Array,  # [L, B, T, K*D] int8 settled cache
+    all_v: jax.Array,
+    k_scale: jax.Array,  # [L, B, T] f32
+    v_scale: jax.Array,
+    stag_k: jax.Array,  # [L, B, S, K*D] int8 segment staging
+    stag_v: jax.Array,
+    stag_ks: jax.Array,  # [L, B, SEG_PAD] f32 (cols [0, S) live)
+    stag_vs: jax.Array,
+    layer: jax.Array,  # scalar int32
+    step: jax.Array,  # scalar int32 — staging columns [0, step] are attended
+    base: jax.Array,  # [B] int32 — settled length (cache read bound)
+    pad: jax.Array,  # [B] int32
+    *,
+    block_t: int = BLOCK_T,
+    row_block: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash-decode attention over settled cache [pad, base) + staging [0, step].
+
+    The serving decode core writes each step's quantized K/V into the staging
+    buffers at lockstep column `step` BEFORE calling this (write-then-attend);
+    `reconcile_segment` folds staging into the cache at segment end.
+    """
+    B, K, G, D = q.shape
+    assert all_k.dtype == jnp.int8, "staged path is int8-cache only"
+    T = all_k.shape[2]
+    S = stag_k.shape[2]
+    assert stag_ks.shape == (all_k.shape[0], B, SEG_PAD), stag_ks.shape
+    block_t = min(block_t, T)
+    assert T % block_t == 0, (T, block_t)
+    rb = row_block
+    while B % rb:
+        rb //= 2
+    rb = max(rb, 1)
+    KG = K * G
+    KD = K * D
+
+    in_specs = [
+        pl.BlockSpec((rb, KG, KD), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 8
+    scratch = [
+        pltpu.VMEM((2, rb, block_t, KD), jnp.int8),
+        pltpu.VMEM((2, rb, block_t, KD), jnp.int8),
+        pltpu.VMEM((2, rb, block_t), jnp.float32),
+        pltpu.VMEM((2, rb, block_t), jnp.float32),
+        pltpu.VMEM((rb, S, KD), jnp.int8),
+        pltpu.VMEM((rb, S, KD), jnp.int8),
+        pltpu.VMEM((rb, 1, SEG_PAD), jnp.float32),
+        pltpu.VMEM((rb, 1, SEG_PAD), jnp.float32),
+        pltpu.VMEM((rb * KG, block_t), jnp.float32),
+        pltpu.VMEM((rb * KG, block_t), jnp.bfloat16),
+        pltpu.VMEM((rb, KG, KD), jnp.float32),
+        pltpu.VMEM((rb * KG, 128), jnp.float32),
+        pltpu.VMEM((rb * KG, 128), jnp.float32),
+        pltpu.VMEM((rb * KG, 128), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SemaphoreType.DMA((2, 4)),
+        pltpu.SemaphoreType.DMA((rb, 4)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B // rb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (rb, KG, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(
+        _staged_kernel, n_kv=K, group=G, head_dim=D, block_t=block_t,
+        row_block=rb, seg=S,
+    )
+    qs = (q.astype(jnp.float32) * (D**-0.5)).astype(q.dtype)
+    qbd = jnp.zeros((B, K, G, K, D), q.dtype)
+    for h in range(K):
+        qbd = qbd.at[:, h, :, h, :].set(qs[:, h])
+    qbd = qbd.reshape(B, KG, KD)
+
+    L = all_k.shape[0]
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KG, D), q.dtype),
+        interpret=interpret,
+    )(
+        base,
+        pad,
+        jnp.reshape(layer, (1,)).astype(jnp.int32),
+        jnp.reshape(step, (1,)).astype(jnp.int32),
+        qbd,
+        all_k,
+        all_v,
+        k_scale,
+        v_scale,
+        stag_k,
+        stag_v,
+        stag_ks.reshape(L, B, 1, SEG_PAD),
+        stag_vs.reshape(L, B, 1, SEG_PAD),
+    )
+    return out.reshape(B, K, G, D)
+
+
+def decode_attention_staged_xla(
+    q, all_k, all_v, k_scale, v_scale, stag_k, stag_v, stag_ks, stag_vs,
+    layer, step, base, pad,
+):
+    """XLA oracle for the staged op (tests + CPU fallback semantics)."""
+    B = q.shape[0]
+    S = stag_k.shape[2]
+    ck = all_k[layer].astype(jnp.float32) * k_scale[layer][..., None]
+    cv = all_v[layer].astype(jnp.float32) * v_scale[layer][..., None]
+    sk = stag_k[layer].astype(jnp.float32) * stag_ks[layer][..., :S, None]
+    sv = stag_v[layer].astype(jnp.float32) * stag_vs[layer][..., :S, None]
+    T = ck.shape[1]
+    # concatenate staging after the cache; valid = [pad, base) u [T, T+step]
+    ck2 = jnp.concatenate([ck, sk], axis=1)
+    cv2 = jnp.concatenate([cv, sv], axis=1)
+    t_idx = jnp.arange(T + S, dtype=jnp.int32)
+    valid = (
+        (t_idx[None, :] < base[:, None]) & (t_idx[None, :] >= pad[:, None])
+    ) | ((t_idx[None, :] >= T) & (t_idx[None, :] <= T + step))
+    K, G, D = q.shape[1:]
+    s = jnp.einsum(
+        "bkgd,btkd->bkgt",
+        q.astype(jnp.float32),
+        ck2.reshape(B, T + S, K, D),
+    ) * (D**-0.5)
+    s = jnp.where(valid[:, None, None, :], s, jnp.float32(-1e30))
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bkgt,btkd->bkgd", p, cv2.reshape(B, T + S, K, D))
+    return out.astype(q.dtype)
+
+
+def _reconcile_kernel(
+    base_ref,  # SMEM [B] int32 — 8-aligned segment base per row
+    act_ref,  # SMEM [B] int32 — 1 if the row was active at segment start
+    sk_hbm,  # HBM [L, B, S, KD] int8
+    sv_hbm,
+    k_in,  # HBM [L, B, T, KD] int8 (aliased with k_out)
+    v_in,
+    k_out,
+    v_out,
+    sem_kv,  # DMA (rb, 2)
+    *,
+    row_block: int,
+    seg: int,
+):
+    """Fold one segment's staged K/V into the per-row cache slots
+    [base, base+S) — one strided [L, S, KD] DMA per row per buffer. Legal
+    because base is always 8-aligned (128-token admission buckets + S a
+    multiple of 8), matching Mosaic's HBM sublane tiling."""
+    tile = pl.program_id(0)
+    b0 = tile * row_block
+
+    def kv_dmas(r):
+        b = b0 + r
+        base8 = lax.div(base_ref[b], 8) * 8  # == base (alignment invariant)
+        return [
+            pltpu.make_async_copy(
+                sk_hbm.at[:, b, :, :],
+                k_out.at[:, b, pl.ds(base8, seg), :],
+                sem_kv.at[r, 0],
+            ),
+            pltpu.make_async_copy(
+                sv_hbm.at[:, b, :, :],
+                v_out.at[:, b, pl.ds(base8, seg), :],
+                sem_kv.at[r, 1],
+            ),
+        ]
+
+    for r in range(row_block):
+        @pl.when(act_ref[b0 + r] != 0)
+        def _():
+            for d in kv_dmas(r):
+                d.start()
+
+    for r in range(row_block):
+        @pl.when(act_ref[b0 + r] != 0)
+        def _():
+            for d in kv_dmas(r):
+                d.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "interpret"))
+def reconcile_segment_kv(
+    all_k: jax.Array,  # [L, B, T, K*D] int8 — updated in place (aliased)
+    all_v: jax.Array,
+    stag_k: jax.Array,  # [L, B, S, K*D] int8
+    stag_v: jax.Array,
+    base: jax.Array,  # [B] int32 — 8-aligned segment base per row
+    active: jax.Array,  # [B] bool — rows active at segment start
+    *,
+    row_block: int = 16,
+    interpret: bool = False,
+):
+    """Copy staged K/V into cache slots [base, base+S) for active rows."""
+    L, B, T, KD = all_k.shape
+    S = stag_k.shape[2]
+    rb = row_block
+    while B % rb:
+        rb //= 2
+    rb = max(rb, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // rb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        scratch_shapes=[pltpu.SemaphoreType.DMA((rb, 2))],
+    )
+    kernel = functools.partial(_reconcile_kernel, row_block=rb, seg=S)
+    # operands: base(0) active(1) sk(2) sv(3) k(4) v(5); outputs alias 4/5
+    new_k, new_v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(all_k.shape, all_k.dtype),
+            jax.ShapeDtypeStruct(all_v.shape, all_v.dtype),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(base, active.astype(jnp.int32), stag_k, stag_v, all_k, all_v)
+    return new_k, new_v
+
+
+def reconcile_scales(k_scale, v_scale, stag_ks, stag_vs, base, active, seg):
+    """Fold staged per-token scales into the scale caches — dense XLA.
+
+    Mosaic DMA cannot address single f32 lanes (128-lane minor tiling), so
+    the scale fold runs as a one-hot einsum + where: ~0.6 GB of traffic per
+    segment on the small scale buffers, no scatter anywhere.
+    """
+    L, B, T = k_scale.shape
+    cols = base[:, None] + jnp.arange(seg, dtype=jnp.int32)[None, :]  # [B, S]
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    hit = (cols[:, :, None] == t_idx[None, None, :]) & active[:, None, None]
+    oh = hit.astype(jnp.float32)  # [B, S, T]
+    new_ks = jnp.einsum(
+        "lbs,bst->lbt", stag_ks[..., :seg], oh, preferred_element_type=jnp.float32
+    )
+    new_vs = jnp.einsum(
+        "lbs,bst->lbt", stag_vs[..., :seg], oh, preferred_element_type=jnp.float32
+    )
+    anyhit = jnp.any(hit, axis=1)[None]  # [1, B, T]
+    return (
+        jnp.where(anyhit, new_ks, k_scale),
+        jnp.where(anyhit, new_vs, v_scale),
+    )
+
+
+def reconcile_segment(
+    all_k, all_v, k_scale, v_scale, stag_k, stag_v, stag_ks, stag_vs,
+    base, active, *, row_block: int = 16, interpret: bool = False,
+    use_pallas: bool = True,
+):
+    """Fold one segment's staging into the cache (K/V via Pallas DMA,
+    scales via dense XLA). Returns (all_k, all_v, k_scale, v_scale)."""
+    S = stag_k.shape[2]
+    if use_pallas:
+        all_k, all_v = reconcile_segment_kv(
+            all_k, all_v, stag_k, stag_v, base, active,
+            row_block=row_block, interpret=interpret,
+        )
+    else:
+        L, B, T, KD = all_k.shape
+        cols = base[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+        t_idx = jnp.arange(T, dtype=jnp.int32)
+        hit = (cols[:, :, None] == t_idx[None, None, :]) & active[:, None, None]
+        sel_k = jnp.einsum(
+            "bst,lbsk->lbtk", hit.astype(jnp.int8), stag_k,
+            preferred_element_type=jnp.int32,
+        ).astype(all_k.dtype)
+        sel_v = jnp.einsum(
+            "bst,lbsk->lbtk", hit.astype(jnp.int8), stag_v,
+            preferred_element_type=jnp.int32,
+        ).astype(all_v.dtype)
+        anyhit = jnp.any(hit, axis=1)[None, :, :, None]
+        all_k = jnp.where(anyhit, sel_k, all_k)
+        all_v = jnp.where(anyhit, sel_v, all_v)
+    k_scale, v_scale = reconcile_scales(
+        k_scale, v_scale, stag_ks, stag_vs, base, active, S
+    )
+    return all_k, all_v, k_scale, v_scale
+
+
+def reconcile_segment_xla(
+    all_k, all_v, k_scale, v_scale, stag_k, stag_v, stag_ks, stag_vs,
+    base, active,
+):
+    """XLA oracle for reconcile_segment (tests + CPU fallback)."""
+    return reconcile_segment(
+        all_k, all_v, k_scale, v_scale, stag_k, stag_v, stag_ks, stag_vs,
+        base, active, use_pallas=False,
+    )

@@ -60,7 +60,12 @@ class Engine:
         self.eos_id = eos_id
         self.n_slots = n_slots
         self.sampling = sampling or SamplingConfig()
-        self.segment_steps = segment_steps
+        # segments must be a multiple of the staged-decode alignment (the
+        # reconcile DMA requires 8-aligned segment bases, batching.py)
+        self.segment_steps = max(
+            batching.SEGMENT_ALIGN,
+            (segment_steps // batching.SEGMENT_ALIGN) * batching.SEGMENT_ALIGN,
+        )
         self.state = batching.SlotState.create(cfg, n_slots, jax.random.PRNGKey(seed))
         self._queue: deque[Request] = deque()
         self._slot_req: List[Optional[Request]] = [None] * n_slots
@@ -178,11 +183,14 @@ class Engine:
                 # pad a partial group by repeating its last admission — the
                 # duplicate slot indices re-write identical rows (idempotent)
                 group = group + [group[-1]] * (G - len(group))
+                # LEFT-pad: the prompt occupies [Lp - len, Lp), so the slot's
+                # settled length is the full bucket — the 8-aligned base the
+                # staged decode's reconcile DMA requires (batching.py)
                 toks = np.zeros((G, Lp), np.int32)
                 lens = np.zeros((G,), np.int32)
                 slots = np.zeros((G,), np.int32)
                 for j, (slot, req) in enumerate(group):
-                    toks[j, : len(req.prompt_ids)] = req.prompt_ids
+                    toks[j, Lp - len(req.prompt_ids):] = req.prompt_ids
                     lens[j] = len(req.prompt_ids)
                     slots[j] = slot
                 self.state = batching.prefill_slots(

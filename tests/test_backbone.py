@@ -224,21 +224,24 @@ def test_int4_cache_decode_consistency(params):
 
 
 def test_int4_odd_prompt_write_preserves_prompt_nibble(params):
-    """Odd true lengths exercise the prev-nibble pairing in the serving path:
-    the first decode write lands at an odd cache index, sharing a byte with
-    the prompt's LAST token — that token's dequantized K/V must be bit-
-    identical before and after decoding (a clobber would corrupt it)."""
+    """The serving path's int4 prev-nibble pairing must never corrupt the
+    prompt's LAST token: decode writes share packed bytes with earlier
+    tokens, and a clobber would change its dequantized K/V. (Admission is
+    LEFT-padded, so the prompt's last real token sits at bucket index Lp-1 —
+    an odd index whenever the bucket is even — and the first decode write at
+    even Lp opens a fresh byte whose hi nibble pairs via the prev register.)"""
     from neutts_tpu.runtime import batching
 
     cfg4 = CFG.scaled(kv_dtype="int4")
     scfg = config.SamplingConfig(greedy=True, min_new_tokens=1)
-    prompt = [3, 1, 4, 1, 5]  # odd length -> first decode write at index 5
-    L = len(prompt)
+    prompt = [3, 1, 4, 1, 5]
+    Lp = 8  # bucket; prompt occupies [3, 8) — last real token at odd index 7
+    L = Lp  # slot index of the prompt's last token + 1 (left-padded layout)
     state = batching.SlotState.create(cfg4, 2, jax.random.PRNGKey(3))
-    toks = jnp.asarray([prompt + [0, 0, 0]], jnp.int32)
+    toks = jnp.asarray([[0, 0, 0] + prompt], jnp.int32)
     state = batching.prefill_slots(
         cfg4, scfg, EOS, params, state,
-        toks, jnp.asarray([L], jnp.int32), jnp.asarray([0], jnp.int32))
+        toks, jnp.asarray([len(prompt)], jnp.int32), jnp.asarray([0], jnp.int32))
 
     def deq_last_token(state):
         # dequantized K of the prompt's last token, all layers, slot 0

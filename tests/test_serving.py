@@ -100,7 +100,7 @@ def test_prefill_slots_duplicate_padding_idempotent(params):
         lens = np.zeros((pad_to,), np.int32)
         slots = np.zeros((pad_to,), np.int32)
         for j, (slot, p) in enumerate(group):
-            toks[j, : len(p)] = p
+            toks[j, Lp - len(p):] = p  # LEFT-padded (engine admission layout)
             lens[j] = len(p)
             slots[j] = slot
         return batching.prefill_slots(
@@ -115,3 +115,71 @@ def test_prefill_slots_duplicate_padding_idempotent(params):
     np.testing.assert_array_equal(
         np.asarray(plain.cache.k[:, :2]), np.asarray(padded.cache.k[:, :2])
     )
+
+
+def test_staged_decode_matches_scatter_path(params, monkeypatch):
+    """The segment-staged decode (TPU serving path: lockstep staging writes +
+    staged flash kernel + Pallas reconcile, run here in interpret mode) must
+    produce the same greedy tokens, lens, and reconciled cache contents as
+    the direct-scatter path."""
+    import functools
+
+    from neutts_tpu.ops import attention as attn
+    from neutts_tpu.runtime import batching
+
+    cfg8 = CFG.scaled(kv_dtype="int8")
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=1)
+    S = 8
+    prompts = [[3, 1, 4, 1, 5], [9, 2, 6], [2, 7, 1, 8, 2, 8], [5]]
+    Lp = 8  # mult of SEGMENT_ALIGN (test-sized bucket)
+
+    def admit(state):
+        toks = np.zeros((len(prompts), Lp), np.int32)
+        lens = np.zeros((len(prompts),), np.int32)
+        for j, p in enumerate(prompts):
+            toks[j, Lp - len(p):] = p
+            lens[j] = len(p)
+        return batching.prefill_slots(
+            cfg8, scfg, EOS, params, state,
+            jnp.asarray(toks), jnp.asarray(lens),
+            jnp.arange(len(prompts), dtype=jnp.int32),
+        )
+
+    sA = admit(batching.SlotState.create(cfg8, 4, jax.random.PRNGKey(3)))
+    sB = admit(batching.SlotState.create(cfg8, 4, jax.random.PRNGKey(3)))
+
+    monkeypatch.setattr(
+        attn, "decode_attention_staged",
+        functools.partial(attn.decode_attention_staged, interpret=True,
+                          row_block=4),
+    )
+    monkeypatch.setattr(
+        attn, "reconcile_segment",
+        functools.partial(attn.reconcile_segment, interpret=True,
+                          row_block=4),
+    )
+    # two segments: the second exercises bases advanced by +S
+    for _ in range(2):
+        sA, outA = batching._decode_steps_staged(
+            cfg8, scfg, EOS, S, params, sA)
+        sB, outB = batching._decode_steps_scatter(
+            cfg8, scfg, EOS, S, params, sB)
+        np.testing.assert_array_equal(np.asarray(outA), np.asarray(outB))
+    np.testing.assert_array_equal(np.asarray(sA.lens), np.asarray(sB.lens))
+    np.testing.assert_array_equal(np.asarray(sA.active), np.asarray(sB.active))
+    # prompt region untouched by decode: bit-exact
+    np.testing.assert_array_equal(
+        np.asarray(sA.cache.k[:, :, :Lp]), np.asarray(sB.cache.k[:, :, :Lp]))
+    # decoded region: the staged kernel's probability dot runs in bf16 (the
+    # scatter path's XLA oracle in f32), so K/V bytes can round one LSB
+    # apart — compare DEQUANTIZED values. A reconcile placement bug would
+    # put entirely different vectors here, far outside this tolerance.
+    lens = np.asarray(sA.lens)
+    for b in range(len(prompts)):
+        n = int(lens[b])
+        for cache, scale in (("k", "k_scale"), ("v", "v_scale")):
+            da = np.asarray(getattr(sA.cache, cache)[:, b, :n], np.float32) * \
+                np.asarray(getattr(sA.cache, scale)[:, b, :n])[..., None]
+            db = np.asarray(getattr(sB.cache, cache)[:, b, :n], np.float32) * \
+                np.asarray(getattr(sB.cache, scale)[:, b, :n])[..., None]
+            np.testing.assert_allclose(da, db, atol=0.15, rtol=0.05)
