@@ -522,13 +522,15 @@ def _staged_kernel(
     svsb,
     s_ref,
     p_ref,
+    s2_ref,  # VMEM (rb*KG, S) f32 — staging scores (all rows)
+    p2_ref,  # VMEM (rb*KG, S) bf16
     acc_ref,
     m_ref,
     l_ref,
     lp_ref,
     cnt_ref,
     sem,  # DMA (2, 4)
-    sem_st,  # DMA (rb, 4) — staging reads
+    sem_st,  # DMA (4,) — staging reads (one strided copy per buffer)
     *,
     n_kv: int,
     group: int,
@@ -586,27 +588,28 @@ def _staged_kernel(
         cnt_ref[0] = 0
         start_dma(0, 0, 0)
 
-    # staging reads for this tile's rows (tiny; overlapped with the main loop)
-    def st_dmas(r):
-        b = b0 + r
+    # staging reads for this tile's rows — one strided copy per buffer
+    # (tiny; overlapped with the main loop)
+    rows = pl.ds(b0, row_block)
+
+    def st_dmas():
         return [
             pltpu.make_async_copy(
-                sk_hbm.at[layer, b, :, :], skb.at[r], sem_st.at[r, 0]
+                sk_hbm.at[layer, rows, :, :], skb, sem_st.at[0]
             ),
             pltpu.make_async_copy(
-                sv_hbm.at[layer, b, :, :], svb.at[r], sem_st.at[r, 1]
+                sv_hbm.at[layer, rows, :, :], svb, sem_st.at[1]
             ),
             pltpu.make_async_copy(
-                sks4_hbm.at[layer, b, :, :], sksb.at[r], sem_st.at[r, 2]
+                sks4_hbm.at[layer, rows, :, :], sksb, sem_st.at[2]
             ),
             pltpu.make_async_copy(
-                svs4_hbm.at[layer, b, :, :], svsb.at[r], sem_st.at[r, 3]
+                svs4_hbm.at[layer, rows, :, :], svsb, sem_st.at[3]
             ),
         ]
 
-    for r in range(row_block):
-        for d in st_dmas(r):
-            d.start()
+    for d in st_dmas():
+        d.start()
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     m_ref[:] = jnp.full_like(m_ref, -1e30)
@@ -684,39 +687,50 @@ def _staged_kernel(
     lax.fori_loop(0, n_blocks, body, 0)
 
     # ---- staging block: columns [0, step] of this segment ------------------
-    for r in range(row_block):
-        for d in st_dmas(r):
-            d.wait()
+    # Per-row dots (each row has its own staging K/V), but ONE vectorized
+    # mask/softmax-merge across all rows — the sequential per-row merge
+    # chains were pure VPU-issue latency on tiny [KG, S] shapes.
+    for d in st_dmas():
+        d.wait()
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (KG, seg), 1)
     for r in range(row_block):
-        rs = slice(r * KG, (r + 1) * KG)
-        sc2 = jax.lax.dot_general(
+        s2_ref[r * KG : (r + 1) * KG, :] = jax.lax.dot_general(
             q_ref[r],
             skb[r].astype(q_ref.dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [KG, S]
-        sc2 = sc2 * sksb[r][:, :seg]
-        valid2 = col <= step
-        sc2 = jnp.where(valid2, sc2, -1e30)
-        m_blk = jnp.max(sc2, axis=1, keepdims=True)
-        m_old = m_ref[rs, 0:1]
-        m_new = jnp.maximum(m_old, m_blk)
-        alpha = jnp.exp(m_old - m_new)
-        pexp2 = jnp.exp(sc2 - m_new)
-        l_ref[rs, 0:1] = l_ref[rs, 0:1] * alpha + jnp.sum(
-            pexp2, axis=1, keepdims=True
-        )
-        m_ref[rs, 0:1] = m_new
-        pexp2 = jnp.where(valid2, pexp2 * svsb[r][:, :seg], 0.0)
+
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (RKG, seg), 1)
+    valid2 = col2 <= step
+    sc2 = s2_ref[:] * jnp.broadcast_to(
+        sksb[:, :, :seg], (row_block, KG, seg)
+    ).reshape(RKG, seg)
+    sc2 = jnp.where(valid2, sc2, -1e30)
+    m_blk = jnp.max(sc2, axis=1, keepdims=True)
+    m_old = m_ref[:, 0:1]
+    m_new = jnp.maximum(m_old, m_blk)
+    alpha = jnp.exp(m_old - m_new)
+    pexp2 = jnp.exp(sc2 - m_new)
+    l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(pexp2, axis=1, keepdims=True)
+    m_ref[:, 0:1] = m_new
+    pexp2 = jnp.where(
+        valid2,
+        pexp2
+        * jnp.broadcast_to(
+            svsb[:, :, :seg], (row_block, KG, seg)
+        ).reshape(RKG, seg),
+        0.0,
+    )
+    p2_ref[:] = pexp2.astype(p2_ref.dtype)
+    for r in range(row_block):
         pv2 = jax.lax.dot_general(
-            pexp2.astype(p_ref.dtype),
-            svb[r].astype(p_ref.dtype),
+            p2_ref[r * KG : (r + 1) * KG, :],
+            svb[r].astype(p2_ref.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [KG, KD]
-        acc_ref[r] = acc_ref[r] * alpha + pv2
+        acc_ref[r] = acc_ref[r] * alpha[r * KG : (r + 1) * KG, :] + pv2
 
     for r in range(row_block):
         norm = jnp.maximum(l_ref[r * KG : (r + 1) * KG, 0:1], 1e-30)
@@ -784,13 +798,15 @@ def decode_attention_staged(
         pltpu.VMEM((rb, 1, SEG_PAD), jnp.float32),
         pltpu.VMEM((rb * KG, block_t), jnp.float32),
         pltpu.VMEM((rb * KG, block_t), jnp.bfloat16),
+        pltpu.VMEM((rb * KG, S), jnp.float32),
+        pltpu.VMEM((rb * KG, S), jnp.bfloat16),
         pltpu.VMEM((rb, KG, KD), jnp.float32),
         pltpu.VMEM((rb * KG, 128), jnp.float32),
         pltpu.VMEM((rb * KG, 128), jnp.float32),
         pltpu.VMEM((rb * KG, 128), jnp.int32),
         pltpu.SMEM((1,), jnp.int32),
         pltpu.SemaphoreType.DMA((2, 4)),
-        pltpu.SemaphoreType.DMA((rb, 4)),
+        pltpu.SemaphoreType.DMA((4,)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
