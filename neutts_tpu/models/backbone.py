@@ -414,10 +414,20 @@ def _attend_block(
     reverted): with tuned 512-blocks it wins an attention-only microbench
     2x (2.6 vs 5.3 ms/layer at [64, 512]) but LOSES in the real prefill
     scan (256 -> 490 ms per [64, 512] group) — the per-layer KV-head
-    repeats + [B,H,S,D] transposes it needs aren't hoistable there. A
-    bespoke prefill kernel in [B, S, H, D] layout with native GQA is the
-    right fix if prefill ever dominates; `valid` is already plumbed here
-    for it.
+    repeats + [B,H,S,D] transposes it needs aren't hoistable there.
+
+    Note on a BESPOKE flash prefill kernel (tried 2026-08, then removed):
+    a GQA-native Pallas kernel in kv-grouped [B, K, S*G, D] layout with
+    causal block skipping and online softmax measured 4.7 ms/layer inside
+    the 24-layer scan at [64, 512] on v5e — no better than this XLA path
+    (4.9 ms/layer in the same harness), and the host-side kv-grouping
+    transposes added another 2.5 ms/layer. Root cause: prefill attention
+    at these shapes is VPU-BOUND on the softmax elementwise chain
+    (~175-235M f32 exp/max/mul ops per layer), which both
+    implementations pay identically; the [B, H, S, S] HBM score traffic
+    the flash scheme eliminates (~940 MB/layer ~ 1.2 ms) was already
+    hidden under the VPU work. Don't retry flash here without first
+    shrinking the elementwise work itself.
     """
     B, S, H, Dh = q.shape
     if valid is not None and S >= 256 and use_pallas_attention():
