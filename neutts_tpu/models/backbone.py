@@ -469,13 +469,20 @@ def _attend_block_dense(
     return out.reshape(B, S, H, Dh)
 
 
-def use_pallas_attention() -> bool:
+def use_pallas_attention(cfg: Optional["BackboneConfig"] = None) -> bool:
     """Pallas flash-decode on TPU backends; XLA fallback elsewhere (CPU tests,
-    virtual meshes). Decided at trace time."""
+    virtual meshes). Decided at trace time.
+
+    With a cfg, also requires the fused KV minor dim (n_kv*head_dim) to be a
+    multiple of 128: Mosaic HBM DMA slices are 128-lane granular, so smaller
+    geometries (the TINY test config: 2x16=32) must take the XLA path."""
     try:
-        return jax.devices()[0].platform == "tpu"
+        on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+    if cfg is not None and (cfg.n_kv_heads * cfg.head_dim) % 128 != 0:
+        return False
+    return on_tpu
 
 
 def _qkv(cfg: BackboneConfig, lp: Params, h: jax.Array, cos, sin):
@@ -627,7 +634,7 @@ def decode_step(
     cos, sin = rope_tables(cfg.head_dim, cfg.rope_theta, positions)
     lens = jnp.full((B,), cur_index + 1, jnp.int32)  # write-then-attend
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[token[:, None]]
-    pallas = use_pallas_attention()
+    pallas = use_pallas_attention(cfg)
     quant = cache.quantized
     int4 = cache.int4
 

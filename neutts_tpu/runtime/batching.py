@@ -243,7 +243,7 @@ def decode_steps(
     """
     from neutts_tpu.ops import attention as attn_ops
 
-    pallas = bb.use_pallas_attention()
+    pallas = bb.use_pallas_attention(cfg)
     quant = state.cache.quantized
     int4 = state.cache.int4
     if pallas and quant and not int4:
@@ -355,7 +355,7 @@ def _decode_steps_scatter(cfg, sampling, eos_id, n_steps, params, state):
     T = state.cache.max_len
     K, G = cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads
 
-    pallas = bb.use_pallas_attention()
+    pallas = bb.use_pallas_attention(cfg)
     quant = state.cache.quantized
     int4 = state.cache.int4
 
