@@ -5,7 +5,7 @@ excluding the codec (reference README.md:70-71). This one measures the
 WHOLE pipeline a deployment runs per utterance on one chip:
 
   continuous-batched speech-LM generation (Engine)
-    -> NeuCodec vocoding (streaming windows batched across utterances)
+    -> NeuCodec vocoding (exact full-utterance decode, length-batched)
     -> watermark (host DSP)
 
 Reports per-phase time plus combined audio-seconds/s and utterances/s.
@@ -34,8 +34,8 @@ def main():
     ap.add_argument("--prompt-max", type=int, default=512)
     ap.add_argument("--gen", type=int, default=250)
     ap.add_argument("--segment", type=int, default=32)
-    ap.add_argument("--vocoder-batch", type=int, default=128,
-                    help="codec windows per decode batch")
+    ap.add_argument("--vocoder-batch", type=int, default=32,
+                    help="utterances per vocoder decode batch")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -49,7 +49,6 @@ def main():
     import jax.numpy as jnp
 
     from neutts_tpu import config
-    from neutts_tpu.audio.overlap_add import linear_overlap_add
     from neutts_tpu.audio.watermark import get_watermarker
     from neutts_tpu.models import backbone as bb
     from neutts_tpu.models import codec as cd
@@ -64,13 +63,6 @@ def main():
     # NOTE: no jax.device_put here — the codec param tree carries python-int
     # conv dilations that device_put would turn into traced arrays
     cparams = cd.init_params(ccfg, jax.random.PRNGKey(1))
-    s = config.STREAMING
-    window = (s.lookback + s.overlap_frames + s.frames_per_chunk
-              + s.lookforward + s.overlap_frames)
-    chunk = s.frames_per_chunk
-    lb = s.lookback + s.overlap_frames
-    emit = chunk + 2 * s.overlap_frames
-    hop = ccfg.hop_out
     wm = get_watermarker()
 
     sampling = config.SamplingConfig(min_new_tokens=args.gen + 1)
@@ -95,8 +87,6 @@ def main():
         eng.submit(p, max_new=2)
     t0 = time.perf_counter()
     eng.run()
-    wv = decode_fn(jnp.zeros((args.vocoder_batch, window), jnp.int32))
-    np.asarray(wv[0, :1])
     print(f"# warmup (compiles): {time.perf_counter() - t0:.1f}s")
 
     # ---- phase 1: LM generation -------------------------------------------
@@ -105,6 +95,13 @@ def main():
     t0 = time.perf_counter()
     results = eng.run()
     t_lm = time.perf_counter() - t0
+    # free the 512-slot KV cache before vocoding: full-utterance decode
+    # intermediates (~[VB, 120k, C] conv activations) don't fit HBM next to
+    # an idle 7.8 GB cache. A deployment either sizes slots with vocoder
+    # headroom or runs the phases on disjoint chips.
+    del eng
+    wv = decode_fn(jnp.zeros((args.vocoder_batch, args.gen), jnp.int32))
+    np.asarray(wv[0, :1])  # vocoder warm-up compile (post-cache-free)
 
     # token id -> codec code (direct integer flow; the reference regex-parses
     # "<|speech_N|>" strings here, reference neutts/neutts.py:276). The
@@ -116,58 +113,49 @@ def main():
         toks = np.asarray(results[rid], np.int32)
         all_codes.append(np.abs(toks) % layout.codebook_size)
 
-    # ---- phase 2: vocode (windows batched ACROSS utterances) ---------------
+    # ---- phase 2: vocode (EXACT full-utterance decode, batched) ------------
+    # Batch synthesis vocodes each utterance's full code sequence in one
+    # pass, exactly like NeuTTS.infer — the streaming window geometry (25-
+    # frame chunks with 50+5 frames of context each) exists for LATENCY, and
+    # re-decodes ~3.2x the frames. Utterances are grouped by EXACT length so
+    # batching introduces no padding (a convolutional decoder's tail would
+    # see pad codes inside its receptive field).
     t0 = time.perf_counter()
-    metas = []  # (utt_idx, n_codes, n_windows)
-    windows = []
+    by_len: dict = {}
     for u, arr in enumerate(all_codes):
-        n = len(arr)
-        n_chunks = max(1, -(-n // chunk))
-        padded = np.concatenate([
-            np.zeros(lb, np.int32), arr,
-            np.full(n_chunks * chunk - n + s.lookforward + s.overlap_frames,
-                    arr[-1] if n else 0, np.int32),
-        ])
-        for i in range(n_chunks):
-            windows.append(padded[i * chunk: i * chunk + window])
-        metas.append((u, n, n_chunks))
-    W = np.stack(windows)
+        by_len.setdefault(len(arr), []).append(u)
     VB = args.vocoder_batch
-    pad_w = (-len(W)) % VB
-    if pad_w:
-        W = np.concatenate([W, np.zeros((pad_w, window), np.int32)])
-    dev_wavs = []
-    for i in range(0, len(W), VB):
-        w = decode_fn(jnp.asarray(W[i:i + VB]))
-        np.asarray(w[0, :1])  # 4-byte sync: completion without bulk readback
-        dev_wavs.append(w)
+    dev_wavs = []  # (utt indices, device array)
+    for n, utts in sorted(by_len.items()):
+        for i in range(0, len(utts), VB):
+            group = utts[i:i + VB]
+            codes = np.stack([all_codes[u] for u in group])
+            w = decode_fn(jnp.asarray(codes))
+            np.asarray(w[0, :1])  # 4-byte sync: completion w/o bulk readback
+            dev_wavs.append((group, w))
     t_voc = time.perf_counter() - t0
 
     # bulk device->host copy, reported separately: through the axon tunnel
     # this runs at a few MB/s and would misattribute environment transfer
     # cost to the vocoder (real PCIe D2H is >10 GB/s)
     t0 = time.perf_counter()
-    wavs = np.concatenate([np.asarray(w) for w in dev_wavs])[: len(windows)]
+    host_wavs = [(g, np.asarray(w)) for g, w in dev_wavs]
     t_d2h = time.perf_counter() - t0
 
-    # ---- phase 3: overlap-add + watermark ----------------------------------
+    # ---- phase 3: watermark -------------------------------------------------
     t0 = time.perf_counter()
     total_samples = 0
-    wpos = 0
-    a = lb * hop
-    for (u, n, n_chunks) in metas:
-        frames = [wavs[wpos + i][a: a + emit * hop] for i in range(n_chunks)]
-        wpos += n_chunks
-        wav = linear_overlap_add(frames, stride=s.stride_samples)[: n * hop]
-        wav = wm.apply_watermark(wav, ccfg.sample_rate_out)
-        total_samples += wav.size
+    for group, wavs in host_wavs:
+        for j, u in enumerate(group):
+            wav = wm.apply_watermark(wavs[j], ccfg.sample_rate_out)
+            total_samples += wav.size
     t_post = time.perf_counter() - t0
 
     dt = t_lm + t_voc + t_post
     audio_s = total_samples / ccfg.sample_rate_out
     n_tok = sum(len(c) for c in all_codes)
     print(f"# phases: LM {t_lm:.2f}s, vocoder {t_voc:.2f}s, "
-          f"overlap-add+watermark {t_post:.2f}s "
+          f"watermark {t_post:.2f}s "
           f"(+ {t_d2h:.2f}s tunnel-limited device->host copy, excluded)")
     print(f"# {len(all_codes)} utterances, {n_tok} codec tokens, "
           f"{audio_s:,.0f}s of 24 kHz audio in {dt:.2f}s")
