@@ -103,9 +103,18 @@ class Engine:
         backends), so the tick does exactly ONE readback: admissions enqueue
         async and their first tokens ride along with the segment results.
         """
+        pending = self.step_dispatch()
+        if pending is not None:
+            self.step_collect(pending)
+
+    def step_dispatch(self):
+        """Admission + async decode-segment dispatch (no host sync). Returns
+        an opaque token for `step_collect`, or None if the engine is idle.
+        The split lets a multi-chip driver dispatch every replica's segment
+        before blocking on any readback, so device segments overlap."""
         newly = self._admit()
         if not any(r is not None for r in self._slot_req):
-            return
+            return None
         self.state, outs = batching.decode_steps(
             self.cfg,
             self.sampling,
@@ -114,10 +123,15 @@ class Engine:
             self.params,
             self.state,
         )
+        pending_first, self._pending_first = self._pending_first, None
+        return (newly, outs, self.state.active, pending_first)
+
+    def step_collect(self, pending) -> None:
+        """Readback + bookkeeping for a `step_dispatch` result."""
+        newly, outs, active_dev, pending_first = pending
         outs, active, first_tokens = jax.device_get(
-            (outs, self.state.active, self._pending_first)
+            (outs, active_dev, pending_first)
         )
-        self._pending_first = None
         retire: List[int] = []
         # record admission-time first tokens (sampled inside prefill_slots)
         for slot, req in newly:

@@ -183,3 +183,26 @@ def test_staged_decode_matches_scatter_path(params, monkeypatch):
             db = np.asarray(getattr(sB.cache, cache)[:, b, :n], np.float32) * \
                 np.asarray(getattr(sB.cache, scale)[:, b, :n])[..., None]
             np.testing.assert_allclose(da, db, atol=0.15, rtol=0.05)
+
+
+def test_multichip_engine_matches_single(params):
+    """Replica-per-device serving over the virtual CPU devices: every
+    request's greedy output must match the lockstep oracle, and work must
+    actually spread across replicas."""
+    from neutts_tpu.serving.multichip import MultiChipEngine
+
+    devices = jax.devices()[:4]
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=2)
+    eng = MultiChipEngine(
+        CFG, params, eos_id=EOS, n_slots=2, devices=devices,
+        sampling=scfg, segment_steps=8,
+    )
+    assert eng.n_replicas == 4
+    prompts = [[3 + i, 7, 2, 9] for i in range(10)]
+    rids = [eng.submit(p, max_new=12) for p in prompts]
+    results = eng.run()
+    assert set(results) == set(rids)
+    for rid, prompt in zip(rids, prompts):
+        assert results[rid] == lockstep_greedy(params, prompt, 12), rid
+    used = {i for (i, _) in eng._route.values()}
+    assert len(used) >= 3, used  # requests spread over replicas
