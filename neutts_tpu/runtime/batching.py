@@ -248,6 +248,8 @@ def decode_steps(
     int4 = state.cache.int4
     if pallas and quant and not int4:
         assert n_steps % SEGMENT_ALIGN == 0, n_steps
+        # staging scale buffers are lane-padded to SEG_PAD (attention.py)
+        assert n_steps <= attn_ops.SEG_PAD, n_steps
         return _decode_steps_staged(cfg, sampling, eos_id, n_steps, params, state)
     return _decode_steps_scatter(cfg, sampling, eos_id, n_steps, params, state)
 

@@ -61,10 +61,16 @@ class Engine:
         self.n_slots = n_slots
         self.sampling = sampling or SamplingConfig()
         # segments must be a multiple of the staged-decode alignment (the
-        # reconcile DMA requires 8-aligned segment bases, batching.py)
-        self.segment_steps = max(
-            batching.SEGMENT_ALIGN,
-            (segment_steps // batching.SEGMENT_ALIGN) * batching.SEGMENT_ALIGN,
+        # reconcile DMA requires 8-aligned segment bases) and fit the
+        # lane-padded staging scale buffers (batching.py / attention.py)
+        from neutts_tpu.ops.attention import SEG_PAD
+
+        self.segment_steps = min(
+            max(
+                batching.SEGMENT_ALIGN,
+                (segment_steps // batching.SEGMENT_ALIGN) * batching.SEGMENT_ALIGN,
+            ),
+            SEG_PAD,
         )
         self.state = batching.SlotState.create(cfg, n_slots, jax.random.PRNGKey(seed))
         self._queue: deque[Request] = deque()
