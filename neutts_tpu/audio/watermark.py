@@ -13,6 +13,13 @@ signal envelope (simple psychoacoustic masking: watermark power tracks signal
 power, silence stays silent) and added at ~-40 dB relative level. Detection
 correlates the residual against the keyed PRN per block and aggregates a
 normalized score; unwatermarked audio scores ~0.
+
+SCHEME VERSION NOTE: the keyed PRN derivation (rng.integers) and the
+block-constant envelope are scheme v2; audio watermarked by pre-release v1
+builds (rng.choice PRN + sliding-RMS envelope) does NOT score as watermarked
+under the v2 detector with the same key. No v1 audio was ever published, so
+no fallback detector is carried; if a future scheme change matters for
+released audio, version-tag the scheme and detect both.
 """
 
 from __future__ import annotations

@@ -44,6 +44,11 @@ class TokenLayout:
     n_text_tokens: int  # size of the underlying text tokenizer
     n_special_tokens: int = len(SPECIAL_TOKEN_NAMES)
     codebook_size: int = 65_536
+    # Real checkpoints normally place <|speech_0|> right after the 6 control
+    # tokens; a checkpoint with a different placement sets this so the layout
+    # math (speech_token / code_of / vocab_size) uses the TRUE base instead of
+    # the contiguous assumption (fixes the dead _speech_base_override of r1).
+    speech_base_override: int | None = None
 
     @property
     def text_replace(self) -> int:
@@ -72,6 +77,8 @@ class TokenLayout:
     @property
     def speech_base(self) -> int:
         """Token id of <|speech_0|>."""
+        if self.speech_base_override is not None:
+            return self.speech_base_override
         return self.n_text_tokens + self.n_special_tokens
 
     @property
@@ -285,6 +292,18 @@ class SamplingConfig:
     max_context: int = 2048
     greedy: bool = False
     exact_topk: bool = False  # exact lax.top_k (slow on TPU; parity only)
+    # When set to (speech_base, speech_base + codebook_size), sampling is
+    # restricted to speech tokens + EOS. The reference relies on the model to
+    # stay in range and silently DROPS off-range picks in its regex extraction
+    # (reference neutts/neutts.py:276); constraining instead keeps batched
+    # serving robust to rare off-distribution picks. None = unconstrained.
+    speech_range: Tuple[int, int] | None = None
+
+    def constrained_to(self, layout: "TokenLayout") -> "SamplingConfig":
+        """This config with sampling constrained to `layout`'s speech tokens."""
+        return dataclasses.replace(
+            self, speech_range=(layout.speech_base, layout.vocab_size)
+        )
 
 
 BY_NAME = {

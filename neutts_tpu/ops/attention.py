@@ -905,16 +905,21 @@ def _reconcile_kernel(
 
     def kv_dmas(r):
         b = b0 + r
-        base8 = lax.div(base_ref[b], 8) * 8  # == base (alignment invariant)
+        # base is 8-aligned by construction (128-aligned admission buckets +
+        # max_context % SEGMENT_ALIGN == 0, asserted in Engine.__init__, +
+        # 8-aligned segments). Used directly — a violated invariant must fail
+        # loudly in Mosaic, not be silently floored into cache corruption
+        # (ADVICE r1).
+        base = base_ref[b]
         return [
             pltpu.make_async_copy(
                 sk_hbm.at[:, b, :, :],
-                k_out.at[:, b, pl.ds(base8, seg), :],
+                k_out.at[:, b, pl.ds(base, seg), :],
                 sem_kv.at[r, 0],
             ),
             pltpu.make_async_copy(
                 sv_hbm.at[:, b, :, :],
-                v_out.at[:, b, pl.ds(base8, seg), :],
+                v_out.at[:, b, pl.ds(base, seg), :],
                 sem_kv.at[r, 1],
             ),
         ]

@@ -113,6 +113,9 @@ def sample_step(
     if cfg.greedy:
         if padded:
             logits = logits[:, :vocab_size]
+        if cfg.speech_range is not None:
+            base, top = cfg.speech_range
+            logits = constrain_to_speech(logits, base, top - base, eos_id)
         col = jnp.where(suppress_eos, -jnp.inf, logits[:, eos_id])
         return jnp.argmax(logits.at[:, eos_id].set(col), axis=-1).astype(jnp.int32)
     if cfg.exact_topk:
@@ -124,8 +127,20 @@ def sample_step(
     bad = (idx == eos_id) & sup[:, None]
     if padded:
         bad = bad | (idx >= vocab_size)
+    if cfg.speech_range is not None:
+        # constrain on the [B, k] CANDIDATES (not the [B, V] row): off-range
+        # ids simply lose; if every candidate is off-range the row would pick
+        # -inf arbitrarily, so EOS is re-allowed as the escape hatch below.
+        base, top = cfg.speech_range
+        in_range = ((idx >= base) & (idx < top)) | ((idx == eos_id) & ~sup[:, None])
+        bad = bad | ~in_range
     vals = jnp.where(bad, -jnp.inf, vals)
     vals = vals / jnp.maximum(cfg.temperature, 1e-6)
     g = jax.random.gumbel(key, vals.shape, vals.dtype)
     choice = jnp.argmax(vals + g, axis=-1)
-    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    picked = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    if cfg.speech_range is not None:
+        # every candidate masked (possible only far off-distribution): emit
+        # EOS rather than an arbitrary masked id
+        picked = jnp.where(jnp.all(bad, axis=-1), eos_id, picked)
+    return picked.astype(jnp.int32)

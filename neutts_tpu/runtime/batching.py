@@ -40,18 +40,30 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from neutts_tpu.config import BackboneConfig, SamplingConfig
+from neutts_tpu.config import BackboneConfig, SamplingConfig, round_up
 from neutts_tpu.models import backbone as bb
 from neutts_tpu.ops import sampling as smp
+from neutts_tpu.ops.attention import BLOCK_T, SEG_PAD
+from neutts_tpu.runtime.decode import PROMPT_BUCKETS
 
 SEGMENT_ALIGN = 8  # segment step counts must be multiples of this
-CACHE_SLACK = 256  # extra cache slots so the segment reconcile never clips
+
+# Extra physical cache slots per row beyond max_context. Sized to the worst
+# case so the physical-headroom bound in `_in_ctx` can NEVER bind before the
+# reference's real-length semantics (max_length=2048 incl. prompt): a
+# left-padded admission can waste up to (max bucket gap - 1) slots of pad, and
+# the staged reconcile needs a full segment (<= SEG_PAD steps) of headroom.
+# Under-sizing this silently truncated long generations (ADVICE r1, medium).
+_MAX_BUCKET_GAP = max(
+    b - a for a, b in zip((0,) + PROMPT_BUCKETS[:-1], PROMPT_BUCKETS)
+)
+CACHE_SLACK = round_up(_MAX_BUCKET_GAP - 1 + SEG_PAD, 128)  # 640
 
 
 def slot_cache_len(cfg: BackboneConfig) -> int:
     """Physical per-slot cache length for the serving path (logical context
     plus reconcile slack, kept a multiple of the attention DMA block)."""
-    return cfg.max_context + CACHE_SLACK
+    return round_up(cfg.max_context + CACHE_SLACK, BLOCK_T)
 
 
 class SlotState(NamedTuple):

@@ -60,6 +60,15 @@ class Engine:
         self.eos_id = eos_id
         self.n_slots = n_slots
         self.sampling = sampling or SamplingConfig()
+        # Staged-decode alignment invariant: admission buckets are 128-aligned
+        # and get clamped to max_context (see _admit), so max_context itself
+        # must stay segment-aligned or the reconcile DMA bases would misalign
+        # and corrupt the KV cache (ADVICE r1; ops/attention.py reconcile).
+        if cfg.max_context % 128 != 0:
+            raise ValueError(
+                f"max_context must be a multiple of 128 for serving "
+                f"(got {cfg.max_context})"
+            )
         # segments must be a multiple of the staged-decode alignment (the
         # reconcile DMA requires 8-aligned segment bases) and fit the
         # lane-padded staging scale buffers (batching.py / attention.py)

@@ -68,6 +68,7 @@ class MultiChipEngine:
                 )
             )
         self._route: Dict[int, tuple] = {}  # global rid -> (engine idx, local rid)
+        self._delivered: set = set()  # rids already returned by run()
         self._next_rid = 0
 
     @property
@@ -98,14 +99,26 @@ class MultiChipEngine:
                 e.step_collect(h)
 
     def run(self) -> Dict[int, List[int]]:
-        """Drain everything; returns {global rid: generated tokens}."""
+        """Drain everything; returns {global rid: generated tokens}.
+
+        Rids delivered by an earlier run() are excluded, so repeated run()
+        calls behave predictably. An undelivered routed rid with no local
+        result is an engine bookkeeping bug and raises instead of being
+        silently dropped (ADVICE r1)."""
         while self.pending():
             self.step()
         local_results = [
             {r.rid: r.tokens for r in e.pop_finished()} for e in self.engines
         ]
-        return {
-            rid: local_results[i][local]
-            for rid, (i, local) in self._route.items()
-            if local in local_results[i]
-        }
+        out: Dict[int, List[int]] = {}
+        for rid, (i, local) in self._route.items():
+            if rid in self._delivered:
+                continue
+            if local not in local_results[i]:
+                raise RuntimeError(
+                    f"replica {i} finished draining but request {rid} "
+                    f"(local rid {local}) has no result — engine bookkeeping bug"
+                )
+            out[rid] = local_results[i][local]
+            self._delivered.add(rid)
+        return out

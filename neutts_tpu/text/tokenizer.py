@@ -108,11 +108,13 @@ class HFTokenizer:
         n_text = self._tok.convert_tokens_to_ids(SPECIAL_TOKEN_NAMES[0])
         if base is None or n_text is None or base == self._tok.unk_token_id:
             raise ValueError(f"tokenizer at {path} lacks NeuTTS speech tokens")
-        self.layout = TokenLayout(n_text_tokens=n_text)
-        # sanity: speech_base must follow the 6 specials contiguously
-        if base != self.layout.speech_base:
-            # Non-contiguous custom layout: still usable, but record the base.
-            object.__setattr__(self.layout, "_speech_base_override", base)
+        layout = TokenLayout(n_text_tokens=n_text)
+        if base != layout.speech_base:
+            # Non-contiguous layout (speech tokens not right after the 6
+            # specials): carry the TRUE base so speech_token()/code_of()
+            # build correct ids (r1's dead _speech_base_override, fixed).
+            layout = TokenLayout(n_text_tokens=n_text, speech_base_override=base)
+        self.layout = layout
         self.pad_id = self._tok.pad_token_id or 0
 
     @property

@@ -206,3 +206,50 @@ def test_multichip_engine_matches_single(params):
         assert results[rid] == lockstep_greedy(params, prompt, 12), rid
     used = {i for (i, _) in eng._route.values()}
     assert len(used) >= 3, used  # requests spread over replicas
+
+
+def test_constrained_sampling_stays_in_speech_range(params):
+    """speech_range constraint (ops/sampling.py): every generated token from
+    a random-init model must be a speech code or nothing (EOS escape)."""
+    lay = CFG.layout
+    scfg = config.SamplingConfig(min_new_tokens=1, top_k=50).constrained_to(lay)
+    eng = Engine(CFG, params, eos_id=EOS, n_slots=2, sampling=scfg, segment_steps=8)
+    rids = [eng.submit([3, 1, 4, 1, 5], max_new=40), eng.submit([2, 7, 1], max_new=40)]
+    results = eng.run()
+    n_tokens = 0
+    for rid in rids:
+        for t in results[rid]:
+            assert lay.speech_base <= t < lay.vocab_size, t
+            n_tokens += 1
+    assert n_tokens > 0  # random logits + top-50 must yield in-range picks
+
+
+def test_cache_slack_covers_worst_pad_plus_segment():
+    """ADVICE r1 (medium): the physical-headroom bound must never bind before
+    the reference max_length semantics — slack >= worst left-pad + segment."""
+    from neutts_tpu.ops.attention import SEG_PAD
+    from neutts_tpu.runtime import batching
+    from neutts_tpu.runtime.decode import PROMPT_BUCKETS
+
+    gaps = [b - a for a, b in zip((0,) + PROMPT_BUCKETS[:-1], PROMPT_BUCKETS)]
+    assert batching.CACHE_SLACK >= max(gaps) - 1 + SEG_PAD
+
+
+def test_no_silent_truncation_with_large_bucket_pad(params, monkeypatch):
+    """Regression for ADVICE r1 (medium): a prompt whose bucket left-pad is
+    large must still be able to generate up to max_context - len(prompt)
+    tokens; the old CACHE_SLACK=256 force-EOS'd the row early and returned a
+    silently truncated result."""
+    from neutts_tpu.serving import engine as eng_mod
+
+    # buckets with a gap of 384 at TINY scale: a 130-token prompt pads to 512
+    monkeypatch.setattr(
+        eng_mod, "bucket_length", lambda n: 128 if n <= 128 else 512
+    )
+    scfg = config.SamplingConfig(min_new_tokens=10_000, top_k=50)  # EOS suppressed
+    eng = Engine(CFG, params, eos_id=EOS, n_slots=1, sampling=scfg, segment_steps=8)
+    prompt = [(i * 7) % 300 for i in range(130)]
+    cap = CFG.max_context - len(prompt)  # 382: reference max_length semantics
+    rid = eng.submit(prompt, max_new=cap)
+    results = eng.run()
+    assert len(results[rid]) == cap, (len(results[rid]), cap)

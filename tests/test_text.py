@@ -103,3 +103,18 @@ def test_training_layout(tok):
     ids = prompt_lib.build_training_ids(tok, g, [7, 8], "some words")
     assert ids[-1] == LAYOUT.speech_gen_end
     assert ids[-3:-1] == [LAYOUT.speech_token(7), LAYOUT.speech_token(8)]
+
+
+def test_token_layout_speech_base_override():
+    """Non-contiguous checkpoints: the override must drive speech_token /
+    code_of / vocab_size, not just be recorded (dead in r1, now live)."""
+    from neutts_tpu.config import TokenLayout
+
+    lay = TokenLayout(n_text_tokens=100, codebook_size=16, speech_base_override=200)
+    assert lay.speech_base == 200
+    assert lay.speech_token(3) == 203
+    assert lay.code_of(203) == 3
+    assert lay.vocab_size == 216
+    # contiguous default unchanged
+    base = TokenLayout(n_text_tokens=100, codebook_size=16)
+    assert base.speech_base == 106
