@@ -214,6 +214,16 @@ class CodecConfig:
     65,536 entries, encoder input 16 kHz mono, decoder output 24 kHz, decoder
     hop 480 samples (reference neutts/neutts.py:84-86, README.md:34).
     FSQ with 8 dims x 4 levels gives exactly 4**8 = 65,536 codes.
+
+    Architecture family: the reference's codec (the external `neucodec`
+    package, reference neutts/neutts.py:186-214) derives from the public
+    XCodec2 design — ResidualFSQ quantizer (lucidrains
+    vector-quantize-pytorch conventions) with project_in/project_out around
+    an acoustic+semantic encoder, and a Vocos-family decoder (sequence
+    backbone + ISTFT head) rather than transposed convs. The decoder here
+    implements that family with the backbone selectable ("transformer" |
+    "convnext"); real-checkpoint hyperparameters are RECOVERED from weight
+    shapes by models/convert_codec.py, these defaults cover synthetic runs.
     """
 
     name: str = "neucodec-tpu"
@@ -222,16 +232,27 @@ class CodecConfig:
     frame_rate: int = 50
     codebook_size: int = 65_536
     fsq_levels: Tuple[int, ...] = (4, 4, 4, 4, 4, 4, 4, 4)
-    # encoder: downsample 16000/50 = 320x
+    # encoder: downsample 16000/50 = 320x (from-scratch trainable design; the
+    # real NeuCodec encode path also carries a w2v-BERT semantic branch that
+    # is only reachable via converted weights)
     enc_strides: Tuple[int, ...] = (2, 4, 5, 8)
     enc_channels: Tuple[int, ...] = (32, 64, 128, 256)
     enc_hidden: int = 256
-    # decoder: upsample 24000/50 = 480x
-    dec_strides: Tuple[int, ...] = (6, 5, 4, 4)
-    dec_channels: int = 512
-    dec_kernels: Tuple[int, ...] = (12, 10, 8, 8)
-    resblock_kernels: Tuple[int, ...] = (3, 7, 11)
-    resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    # quantizer projections (ResidualFSQ family): features are projected
+    # vq_dim -> len(fsq_levels) before quantization and back after
+    vq_dim: int = 2048
+    # decoder: Vocos family — backbone over 50 Hz frames + ISTFT head
+    dec_backbone: str = "transformer"  # "transformer" | "convnext"
+    dec_dim: int = 1024
+    dec_layers: int = 12
+    dec_heads: int = 16
+    dec_intermediate: int = 3072
+    dec_rope: bool = True  # rotary position embedding on attention q/k
+    dec_rope_theta: float = 10_000.0
+    norm_eps: float = 1e-5
+    # ISTFT head: hop 480 @24 kHz == one 50 Hz frame; n_fft = 4x hop
+    n_fft: int = 1920
+    hop_out: int = 480
     dtype: str = "float32"
 
     @property
@@ -242,15 +263,16 @@ class CodecConfig:
         return h  # 320
 
     @property
-    def hop_out(self) -> int:
-        h = 1
-        for s in self.dec_strides:
-            h *= s
-        return h  # 480
-
-    @property
     def fsq_dim(self) -> int:
         return len(self.fsq_levels)
+
+    @property
+    def head_dim(self) -> int:
+        assert self.dec_dim % self.dec_heads == 0
+        return self.dec_dim // self.dec_heads
+
+    def scaled(self, **kw) -> "CodecConfig":
+        return dataclasses.replace(self, **kw)
 
 
 CODEC = CodecConfig()
@@ -258,9 +280,11 @@ CODEC_TINY = CodecConfig(
     name="neucodec-tiny",
     enc_channels=(8, 8, 16, 16),
     enc_hidden=16,
-    dec_channels=32,
-    resblock_kernels=(3,),
-    resblock_dilations=((1, 3),),
+    vq_dim=16,
+    dec_dim=32,
+    dec_layers=2,
+    dec_heads=2,
+    dec_intermediate=64,
 )
 
 

@@ -31,6 +31,8 @@ _bf16 = np.dtype(ml_dtypes.bfloat16)
 
 def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
+    if tree is None:  # absent subtree (e.g. decoder-only codec's "enc")
+        return out
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
@@ -109,12 +111,12 @@ def load_pipeline(path: str | Path) -> Tuple[cfglib.BackboneConfig, Any, cfglib.
     cfg = json.loads((p / "config.json").read_text())
     bc = cfg["backbone"]
     cc = cfg["codec"]
-    for key in ("fsq_levels", "enc_strides", "enc_channels", "dec_strides",
-                "dec_kernels", "resblock_kernels"):
+    # drop fields from older format revisions; coerce lists back to tuples
+    known = {f.name for f in dataclasses.fields(cfglib.CodecConfig)}
+    cc = {k: v for k, v in cc.items() if k in known}
+    for key in ("fsq_levels", "enc_strides", "enc_channels"):
         if key in cc:
             cc[key] = tuple(cc[key])
-    if "resblock_dilations" in cc:
-        cc["resblock_dilations"] = tuple(tuple(d) for d in cc["resblock_dilations"])
     backbone_cfg = cfglib.BackboneConfig(**bc)
     codec_cfg = cfglib.CodecConfig(**cc)
     return (

@@ -6,35 +6,48 @@ Fills the role of the external `neucodec` package in the reference
 (hop 480 out / 320 in — reference neutts/neutts.py:84-86, README.md:34).
 
 Pinned public invariants (verified against shipped sample artifacts in
-SURVEY.md §0): `encode([1,T16k]) -> [1, ceil(T/320)]` int32 codes in
-[0, 65536); `decode([1,N]) -> [1, N*480]` float waveform in [-1, 1].
+SURVEY.md §0): `encode([1,T16k]) -> [1, floor(T/320)]` int32 codes in
+[0, 65536); `decode([1,N]) -> [1, N*480]` float waveform.
 
-Architecture (from-scratch TPU design, informed by the public FSQ/codec
-literature — NOT copied from the unavailable neucodec internals):
-  * Encoder: conv stem + 4 strided residual stages (strides 2,4,5,8 = 320x)
-    -> 1x1 projection to an 8-dim FSQ latent.
-  * Quantizer: finite scalar quantization, 8 dims x 4 levels = 4**8 = 65,536
-    codes — exact integer round-trip, no codebook-collapse machinery needed.
-  * Decoder: 1x1 latent expansion + conv stem, 4 transposed-conv stages
-    (strides 6,5,4,4 = 480x) each followed by a multi-kernel residual block
-    fusion (HiFi-GAN-style MRF), tanh head.
+Architecture family — recovered from the codec's PUBLIC lineage, not copied:
+the reference codec derives from XCodec2 (itself built on public components),
+whose decode path is
+
+    codes -> ResidualFSQ.get_output_from_indices (lucidrains
+    vector-quantize-pytorch FSQ conventions + project_out)
+          -> fc_post_a linear
+          -> Vocos-family backbone over the 50 Hz frame sequence
+          -> ISTFT head (linear -> mag/phase -> inverse STFT, "same" padding)
+
+This module implements exactly that family:
+  * FSQ with the lucidrains conventions (tanh bound with even-level shift,
+    half-width normalization, little-endian mixed-radix index packing) so a
+    converted real checkpoint dequantizes bit-identically;
+  * a backbone selectable between "transformer" (pre-norm MHA + GELU MLP,
+    optional RoPE — the XCodec2 variant) and "convnext" (depthwise k7 +
+    pointwise MLP — the original Vocos variant); real hyperparameters are
+    recovered from checkpoint weight shapes by models/convert_codec.py;
+  * an ISTFT head with hop 480 / n_fft 1920 "same" padding, vectorized as
+    irfft + a 4-way shifted overlap-add (no scatter, MXU/VPU friendly).
+
+The encoder is a from-scratch trainable design (conv stages + projections +
+FSQ): the real NeuCodec *encoder* additionally consumes a w2v-BERT semantic
+branch that only exists via converted weights, so encode-side reference
+parity is gated on those; the decode path above is the product hot path.
 
 TPU-first choices: NWC layout (channels-last feeds the MXU), f32 compute for
-audio fidelity, every conv is `lax.conv_general_dilated` so XLA fuses the
-elementwise tails; all shapes static under jit. The decoder's hot conv stack
-has a Pallas path in neutts_tpu/ops (used when profitable).
-
-The effective receptive field is deliberately bounded so the reference's
-streaming windows (lookback 50 / lookforward 5 frames, reference
-neutts/neutts.py:86-91) remain valid; tests/test_codec.py measures it.
+audio fidelity, backbone blocks scan-stacked so compile time is depth-
+independent, everything static-shaped under jit.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from neutts_tpu.config import CodecConfig
@@ -42,13 +55,14 @@ from neutts_tpu.config import CodecConfig
 Params = Dict[str, Any]
 
 _DN = ("NWC", "WIO", "NWC")  # 1-D conv layout: batch, width(time), channels
+_FSQ_EPS = 1e-3  # lucidrains FSQ bound epsilon
 
 
-# --- conv helpers -------------------------------------------------------------
+# --- conv / init helpers --------------------------------------------------------
 
 
-def conv1d(x, w, b=None, stride=1, dilation=1, padding="SAME"):
-    """x: [B, T, Cin], w: [K, Cin, Cout]."""
+def conv1d(x, w, b=None, stride=1, dilation=1, padding="SAME", groups=1):
+    """x: [B, T, Cin], w: [K, Cin//groups, Cout]."""
     y = lax.conv_general_dilated(
         x,
         w,
@@ -56,16 +70,7 @@ def conv1d(x, w, b=None, stride=1, dilation=1, padding="SAME"):
         padding=padding,
         rhs_dilation=(dilation,),
         dimension_numbers=_DN,
-    )
-    if b is not None:
-        y = y + b
-    return y
-
-
-def conv1d_transpose(x, w, b=None, stride=1):
-    """x: [B, T, Cin], w: [K, Cin, Cout] -> [B, T*stride, Cout]."""
-    y = lax.conv_transpose(
-        x, w, strides=(stride,), padding="SAME", dimension_numbers=_DN
+        feature_group_count=groups,
     )
     if b is not None:
         y = y + b
@@ -73,36 +78,68 @@ def conv1d_transpose(x, w, b=None, stride=1):
 
 
 def _winit(key, shape, gain=1.0):
-    fan_in = shape[0] * shape[1]
-    return jax.random.normal(key, shape, jnp.float32) * (gain / jnp.sqrt(fan_in))
+    fan_in = int(np.prod(shape[:-1]))
+    return jax.random.normal(key, shape, jnp.float32) * (gain / np.sqrt(fan_in))
+
+
+def _binit(key, n, fan_in):
+    """torch nn.Linear-style uniform bias init: keeps activations off exact
+    zero at init (an all-zero decoder input parks LayerNorm at var=0, whose
+    rsqrt curvature explodes early training gradients)."""
+    bound = 1.0 / np.sqrt(max(fan_in, 1))
+    return jax.random.uniform(key, (n,), jnp.float32, -bound, bound)
 
 
 def _act(x):
     return jax.nn.leaky_relu(x, 0.1)
 
 
-# --- FSQ quantizer ------------------------------------------------------------
+def layer_norm(x, scale, bias, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * lax.rsqrt(var + eps) * scale + bias
 
 
-def fsq_bound(z: jax.Array) -> jax.Array:
-    """Map latent to (-1, 1) per dim before quantization."""
-    return jnp.tanh(z)
+# --- FSQ quantizer (lucidrains vector-quantize-pytorch conventions) ------------
+#
+# For level L: half_width h = L // 2, half_l = (L-1)(1+eps)/2, offset
+# o = 0.5 if L even else 0, shift = atanh(o / half_l). Bounded latent
+# (normalized): (tanh(z + shift) * half_l - o) / h; quantized lattice points
+# are {(d - h)/h : d in [0, L)} — for L=4 that is {-1, -0.5, 0, 0.5}.
+# Index packing is little-endian mixed radix (first dim least significant).
 
 
-def fsq_quantize(z: jax.Array, levels: Tuple[int, ...]) -> jax.Array:
-    """z: [..., D] bounded in (-1,1) -> integer digits [..., D] in [0, L)."""
+def _fsq_consts(levels: Tuple[int, ...]):
     lv = jnp.asarray(levels, jnp.float32)
-    digits = jnp.round((z + 1.0) * 0.5 * (lv - 1.0))
+    half_width = jnp.floor(lv / 2.0)
+    half_l = (lv - 1.0) * (1.0 + _FSQ_EPS) / 2.0
+    offset = jnp.where(lv % 2 == 0, 0.5, 0.0)
+    shift = jnp.arctanh(offset / half_l)
+    return half_width, half_l, offset, shift
+
+
+def fsq_bound(z: jax.Array, levels: Tuple[int, ...]) -> jax.Array:
+    """Raw latent [..., D] -> bounded NORMALIZED latent (quantizer domain)."""
+    h, half_l, offset, shift = _fsq_consts(levels)
+    return (jnp.tanh(z + shift) * half_l - offset) / h
+
+
+def fsq_quantize(zb: jax.Array, levels: Tuple[int, ...]) -> jax.Array:
+    """Bounded normalized latent [..., D] -> integer digits [..., D] in [0, L)."""
+    lv = jnp.asarray(levels, jnp.float32)
+    h, _, _, _ = _fsq_consts(levels)
+    digits = jnp.round(zb * h) + h
     return jnp.clip(digits, 0, lv - 1).astype(jnp.int32)
 
 
 def fsq_dequantize(digits: jax.Array, levels: Tuple[int, ...]) -> jax.Array:
-    lv = jnp.asarray(levels, jnp.float32)
-    return digits.astype(jnp.float32) / (lv - 1.0) * 2.0 - 1.0
+    """Digits -> normalized lattice values (d - h) / h."""
+    h, _, _, _ = _fsq_consts(levels)
+    return (digits.astype(jnp.float32) - h) / h
 
 
 def digits_to_code(digits: jax.Array, levels: Tuple[int, ...]) -> jax.Array:
-    """Mixed-radix pack: code = sum_i digit_i * prod(levels[:i]). [... , D] -> [...]."""
+    """Mixed-radix pack: code = sum_i digit_i * prod(levels[:i]). [..., D] -> [...]."""
     base = 1
     code = jnp.zeros(digits.shape[:-1], jnp.int32)
     for i, L in enumerate(levels):
@@ -121,20 +158,67 @@ def code_to_digits(code: jax.Array, levels: Tuple[int, ...]) -> jax.Array:
 
 
 def fsq_straight_through(z: jax.Array, levels: Tuple[int, ...]) -> jax.Array:
-    """Training path: quantize with a straight-through gradient."""
-    zb = fsq_bound(z)
+    """Training path: bounded latent quantized with straight-through grads."""
+    zb = fsq_bound(z, levels)
     q = fsq_dequantize(fsq_quantize(zb, levels), levels)
     return zb + lax.stop_gradient(q - zb)
 
 
-# --- parameter init -----------------------------------------------------------
+# --- ISTFT head (Vocos "same" padding semantics) --------------------------------
+
+
+def hann_window(n: int) -> jax.Array:
+    """Periodic Hann (torch.hann_window default), f32."""
+    i = jnp.arange(n, dtype=jnp.float32)
+    return 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * i / n))
+
+
+def istft_same(frames_spec_real, frames_spec_imag, n_fft: int, hop: int):
+    """Inverse STFT with "same" padding: [B, T, n_fft//2+1] spectra ->
+    [B, T*hop] waveform.
+
+    Matches the Vocos ISTFT module semantics (manual overlap-add with a
+    periodic Hann window, window-envelope normalization, crop of
+    (n_fft - hop)//2 samples each side). Vectorized as irfft + R shifted
+    adds where R = n_fft // hop — no scatter, all static shapes.
+    """
+    assert n_fft % hop == 0, (n_fft, hop)
+    R = n_fft // hop
+    B, T, F = frames_spec_real.shape
+    assert F == n_fft // 2 + 1, (F, n_fft)
+    spec = lax.complex(frames_spec_real, frames_spec_imag)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [B, T, n_fft]
+    win = hann_window(n_fft)
+    frames = frames * win
+
+    # overlap-add: out[(t)*hop : t*hop + n_fft] += frames[t]
+    fr = frames.reshape(B, T, R, hop)
+    acc = jnp.zeros((B, T + R - 1, hop), jnp.float32)
+    for j in range(R):
+        acc = acc.at[:, j : j + T, :].add(fr[:, :, j, :])
+    y = acc.reshape(B, (T + R - 1) * hop)
+
+    # window-square envelope (depends only on T; folded as a constant by jit)
+    w2 = (win * win).reshape(R, hop)
+    env = jnp.zeros((T + R - 1, hop), jnp.float32)
+    for j in range(R):
+        env = env.at[j : j + T, :].add(jnp.broadcast_to(w2[j], (T, hop)))
+    env = env.reshape((T + R - 1) * hop)
+
+    pad = (n_fft - hop) // 2
+    y = y[:, pad : pad + T * hop]
+    env = env[pad : pad + T * hop]
+    return y / jnp.maximum(env, 1e-11)
+
+
+# --- parameter init -------------------------------------------------------------
 
 
 def init_params(cfg: CodecConfig, key: jax.Array) -> Params:
-    keys = iter(jax.random.split(key, 256))
+    keys = iter(jax.random.split(key, 1024))
     p: Params = {"enc": {}, "dec": {}}
 
-    # Encoder
+    # Encoder: conv stem + strided residual stages + projections to the FSQ
     c0 = cfg.enc_channels[0]
     p["enc"]["stem_w"] = _winit(next(keys), (7, 1, c0))
     p["enc"]["stem_b"] = jnp.zeros((c0,))
@@ -154,42 +238,68 @@ def init_params(cfg: CodecConfig, key: jax.Array) -> Params:
     p["enc"]["stages"] = stages
     p["enc"]["post_w"] = _winit(next(keys), (3, cin, cfg.enc_hidden))
     p["enc"]["post_b"] = jnp.zeros((cfg.enc_hidden,))
-    p["enc"]["proj_w"] = _winit(next(keys), (1, cfg.enc_hidden, cfg.fsq_dim))
-    p["enc"]["proj_b"] = jnp.zeros((cfg.fsq_dim,))
+    # fc_prior role: features -> vq_dim; then ResidualFSQ project_in -> fsq_dim.
+    # project_in gain 6: the raw latent must SPAN the FSQ lattice cells at
+    # init (tanh-bounded |z| ~ 1+), or every frame collapses into the center
+    # cell and the quantizer passes no information.
+    p["enc"]["prior_w"] = _winit(next(keys), (cfg.enc_hidden, cfg.vq_dim))
+    p["enc"]["prior_b"] = _binit(next(keys), cfg.vq_dim, cfg.enc_hidden)
+    p["enc"]["project_in_w"] = _winit(next(keys), (cfg.vq_dim, cfg.fsq_dim), gain=6.0)
+    p["enc"]["project_in_b"] = _binit(next(keys), cfg.fsq_dim, cfg.vq_dim)
 
-    # Decoder
-    C = cfg.dec_channels
-    p["dec"]["embed_w"] = _winit(next(keys), (1, cfg.fsq_dim, C))
-    p["dec"]["embed_b"] = jnp.zeros((C,))
-    p["dec"]["stem_w"] = _winit(next(keys), (7, C, C))
-    p["dec"]["stem_b"] = jnp.zeros((C,))
-    stages = []
-    cin = C
-    for s, k in zip(cfg.dec_strides, cfg.dec_kernels):
-        cout = max(cin // 2, 16)
-        st: Dict[str, Any] = {
-            "up_w": _winit(next(keys), (k, cin, cout)),
-            "up_b": jnp.zeros((cout,)),
-            "res": [],
+    # Decoder (Vocos family)
+    D, I = cfg.dec_dim, cfg.dec_intermediate
+    d: Params = {}
+    d["project_out_w"] = _winit(next(keys), (cfg.fsq_dim, cfg.vq_dim))
+    d["project_out_b"] = _binit(next(keys), cfg.vq_dim, cfg.fsq_dim)
+    d["post_a_w"] = _winit(next(keys), (cfg.vq_dim, D))
+    d["post_a_b"] = _binit(next(keys), D, cfg.vq_dim)
+    d["embed_w"] = _winit(next(keys), (7, D, D))
+    d["embed_b"] = _binit(next(keys), D, 7 * D)
+
+    def stack(shape_fn):
+        return jnp.stack([shape_fn(next(keys)) for _ in range(cfg.dec_layers)])
+
+    if cfg.dec_backbone == "transformer":
+        d["blocks"] = {
+            "norm1_s": jnp.ones((cfg.dec_layers, D)),
+            "norm1_b": jnp.zeros((cfg.dec_layers, D)),
+            "wq": stack(lambda k: _winit(k, (D, D))),
+            "bq": jnp.zeros((cfg.dec_layers, D)),
+            "wk": stack(lambda k: _winit(k, (D, D))),
+            "bk": jnp.zeros((cfg.dec_layers, D)),
+            "wv": stack(lambda k: _winit(k, (D, D))),
+            "bv": jnp.zeros((cfg.dec_layers, D)),
+            "wo": stack(lambda k: _winit(k, (D, D))),
+            "bo": jnp.zeros((cfg.dec_layers, D)),
+            "norm2_s": jnp.ones((cfg.dec_layers, D)),
+            "norm2_b": jnp.zeros((cfg.dec_layers, D)),
+            "mlp_w1": stack(lambda k: _winit(k, (D, I))),
+            "mlp_b1": jnp.zeros((cfg.dec_layers, I)),
+            "mlp_w2": stack(lambda k: _winit(k, (I, D))),
+            "mlp_b2": jnp.zeros((cfg.dec_layers, D)),
         }
-        for rk, dils in zip(cfg.resblock_kernels, cfg.resblock_dilations):
-            blk = []
-            for d in dils:
-                blk.append(
-                    {
-                        "w1": _winit(next(keys), (rk, cout, cout)),
-                        "b1": jnp.zeros((cout,)),
-                        "w2": _winit(next(keys), (rk, cout, cout)),
-                        "b2": jnp.zeros((cout,)),
-                        "dilation": d,
-                    }
-                )
-            st["res"].append(blk)
-        stages.append(st)
-        cin = cout
-    p["dec"]["stages"] = stages
-    p["dec"]["post_w"] = _winit(next(keys), (7, cin, 1))
-    p["dec"]["post_b"] = jnp.zeros((1,))
+    elif cfg.dec_backbone == "convnext":
+        d["embed_norm_s"] = jnp.ones((D,))
+        d["embed_norm_b"] = jnp.zeros((D,))
+        d["blocks"] = {
+            "dw_w": stack(lambda k: _winit(k, (7, 1, D))),
+            "dw_b": jnp.zeros((cfg.dec_layers, D)),
+            "norm_s": jnp.ones((cfg.dec_layers, D)),
+            "norm_b": jnp.zeros((cfg.dec_layers, D)),
+            "pw1_w": stack(lambda k: _winit(k, (D, I))),
+            "pw1_b": jnp.zeros((cfg.dec_layers, I)),
+            "pw2_w": stack(lambda k: _winit(k, (I, D))),
+            "pw2_b": jnp.zeros((cfg.dec_layers, D)),
+            "gamma": jnp.full((cfg.dec_layers, D), 1e-2),
+        }
+    else:
+        raise ValueError(f"unknown dec_backbone {cfg.dec_backbone!r}")
+    d["final_norm_s"] = jnp.ones((D,))
+    d["final_norm_b"] = jnp.zeros((D,))
+    d["head_w"] = _winit(next(keys), (D, cfg.n_fft + 2))
+    d["head_b"] = jnp.zeros((cfg.n_fft + 2,))
+    p["dec"] = d
     return p
 
 
@@ -201,12 +311,19 @@ def param_count(params: Params) -> int:
     )
 
 
-# --- encoder ------------------------------------------------------------------
+# --- encoder --------------------------------------------------------------------
 
 
-def encode_latent(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array:
-    """wav: [B, T] 16 kHz mono in [-1,1] -> latent [B, ceil(T/320), fsq_dim]."""
-    e = params["enc"]
+def encode_features(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array:
+    """wav: [B, T] 16 kHz mono in [-1,1] -> features [B, T/320, vq_dim]."""
+    e = params.get("enc")
+    if e is None:
+        raise ValueError(
+            "decoder-only codec checkpoint: encoding reference audio needs "
+            "encoder weights (train them via neutts_tpu.train, or use "
+            "pre-encoded ref codes as in the reference's ONNX-decoder mode, "
+            "reference examples/onnx_example.py)"
+        )
     x = wav[..., None]  # [B, T, 1]
     x = conv1d(x, e["stem_w"], e["stem_b"])
     for st, s in zip(e["stages"], cfg.enc_strides):
@@ -217,8 +334,14 @@ def encode_latent(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array
         x = x + r
         x = conv1d(_act(x), st["down_w"], st["down_b"], stride=s)
     x = conv1d(_act(x), e["post_w"], e["post_b"])
-    z = conv1d(x, e["proj_w"], e["proj_b"])
-    return z
+    return x @ e["prior_w"] + e["prior_b"]
+
+
+def encode_latent(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array:
+    """wav [B, T] -> raw FSQ latent [B, T/320, fsq_dim] (pre-bound)."""
+    feats = encode_features(cfg, params, wav)
+    e = params["enc"]
+    return feats @ e["project_in_w"] + e["project_in_b"]
 
 
 def encode(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array:
@@ -231,33 +354,95 @@ def encode(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array:
     """
     T = wav.shape[-1]
     wav = wav[..., : (T // cfg.hop_in) * cfg.hop_in]
-    z = fsq_bound(encode_latent(cfg, params, wav))
-    digits = fsq_quantize(z, cfg.fsq_levels)
+    zb = fsq_bound(encode_latent(cfg, params, wav), cfg.fsq_levels)
+    digits = fsq_quantize(zb, cfg.fsq_levels)
     return digits_to_code(digits, cfg.fsq_levels)
 
 
-# --- decoder ------------------------------------------------------------------
+# --- decoder --------------------------------------------------------------------
+
+
+def _rope_tables(cfg: CodecConfig, t: int):
+    hd = cfg.head_dim
+    inv = cfg.dec_rope_theta ** (
+        -jnp.arange(0, hd, 2, dtype=jnp.float32) / hd
+    )
+    ang = jnp.arange(t, dtype=jnp.float32)[:, None] * inv[None, :]  # [T, hd/2]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _apply_rope(x, cos, sin):
+    """x: [B, T, H, hd]; rotate-half convention on interleaved pairs."""
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    r1 = x1 * c - x2 * s
+    r2 = x2 * c + x1 * s
+    return jnp.stack([r1, r2], axis=-1).reshape(x.shape)
+
+
+def _transformer_backbone(cfg: CodecConfig, d: Params, x: jax.Array) -> jax.Array:
+    """Pre-norm bidirectional transformer over [B, T, D] frames."""
+    B, T, D = x.shape
+    H, hd = cfg.dec_heads, cfg.head_dim
+    scale = hd**-0.5
+    cos, sin = _rope_tables(cfg, T) if cfg.dec_rope else (None, None)
+
+    def block(x, lp):
+        h = layer_norm(x, lp["norm1_s"], lp["norm1_b"], cfg.norm_eps)
+        q = (h @ lp["wq"] + lp["bq"]).reshape(B, T, H, hd)
+        k = (h @ lp["wk"] + lp["bk"]).reshape(B, T, H, hd)
+        v = (h @ lp["wv"] + lp["bv"]).reshape(B, T, H, hd)
+        if cfg.dec_rope:
+            q = _apply_rope(q, cos, sin)
+            k = _apply_rope(k, cos, sin)
+        s = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+        a = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhts,bshd->bthd", a, v).reshape(B, T, D)
+        x = x + (o @ lp["wo"] + lp["bo"])
+        h = layer_norm(x, lp["norm2_s"], lp["norm2_b"], cfg.norm_eps)
+        h = jax.nn.gelu(h @ lp["mlp_w1"] + lp["mlp_b1"], approximate=False)
+        x = x + (h @ lp["mlp_w2"] + lp["mlp_b2"])
+        return x, None
+
+    x, _ = lax.scan(block, x, d["blocks"])
+    return x
+
+
+def _convnext_backbone(cfg: CodecConfig, d: Params, x: jax.Array) -> jax.Array:
+    """Vocos ConvNeXt backbone over [B, T, D] frames."""
+    x = layer_norm(x, d["embed_norm_s"], d["embed_norm_b"], cfg.norm_eps)
+
+    def block(x, lp):
+        h = conv1d(x, lp["dw_w"], lp["dw_b"], groups=x.shape[-1])
+        h = layer_norm(h, lp["norm_s"], lp["norm_b"], cfg.norm_eps)
+        h = jax.nn.gelu(h @ lp["pw1_w"] + lp["pw1_b"], approximate=False)
+        h = h @ lp["pw2_w"] + lp["pw2_b"]
+        return x + lp["gamma"] * h, None
+
+    x, _ = lax.scan(block, x, d["blocks"])
+    return x
 
 
 def decode_from_latent(cfg: CodecConfig, params: Params, zq: jax.Array) -> jax.Array:
-    """zq: [B, T_codes, fsq_dim] dequantized latent -> wav [B, T_codes*480]."""
+    """zq: [B, T, fsq_dim] normalized lattice values -> wav [B, T*480] @24 kHz."""
     d = params["dec"]
-    x = conv1d(zq, d["embed_w"], d["embed_b"])
-    x = conv1d(_act(x), d["stem_w"], d["stem_b"])
-    for st, s in zip(d["stages"], cfg.dec_strides):
-        x = conv1d_transpose(_act(x), st["up_w"], st["up_b"], stride=s)
-        # MRF: average of multi-kernel residual stacks
-        acc = None
-        for blk in st["res"]:
-            r = x
-            for unit in blk:
-                h = conv1d(_act(r), unit["w1"], unit["b1"], dilation=unit["dilation"])
-                h = conv1d(_act(h), unit["w2"], unit["b2"])
-                r = r + h
-            acc = r if acc is None else acc + r
-        x = acc / len(st["res"])
-    x = conv1d(_act(x), d["post_w"], d["post_b"])
-    return jnp.tanh(x)[..., 0]
+    x = zq @ d["project_out_w"] + d["project_out_b"]  # ResidualFSQ project_out
+    x = x @ d["post_a_w"] + d["post_a_b"]  # fc_post_a role
+    x = conv1d(x, d["embed_w"], d["embed_b"])  # backbone embed (k7)
+    if cfg.dec_backbone == "transformer":
+        x = _transformer_backbone(cfg, d, x)
+    else:
+        x = _convnext_backbone(cfg, d, x)
+    x = layer_norm(x, d["final_norm_s"], d["final_norm_b"], cfg.norm_eps)
+    h = x @ d["head_w"] + d["head_b"]  # [B, T, n_fft + 2]
+    F = cfg.n_fft // 2 + 1
+    mag = jnp.exp(jnp.clip(h[..., :F], max=math.log(1e2)))  # Vocos clip
+    phase = h[..., F:]
+    return istft_same(
+        mag * jnp.cos(phase), mag * jnp.sin(phase), cfg.n_fft, cfg.hop_out
+    )
 
 
 def decode(cfg: CodecConfig, params: Params, codes: jax.Array) -> jax.Array:
@@ -268,7 +453,7 @@ def decode(cfg: CodecConfig, params: Params, codes: jax.Array) -> jax.Array:
     return decode_from_latent(cfg, params, zq)
 
 
-# --- jitted entry points ------------------------------------------------------
+# --- jitted entry points ---------------------------------------------------------
 
 
 def make_decode_fn(cfg: CodecConfig, params: Params):

@@ -1,0 +1,382 @@
+"""Codec converter tests: shape-driven recovery + numeric parity vs a torch
+oracle of the recovered architecture family.
+
+The real NeuCodec artifacts are not present in this environment, so these
+tests build torch modules with the REAL checkpoints' naming families
+(xcodec2-style: generator.quantizer/backbone/head + fc_post_a — reference
+neutts/neutts.py:186-214 names the artifacts) and verify that
+models/convert_codec.py maps them onto our decoder tree such that our JAX
+decode reproduces the torch forward numerically. The same mapper + decode
+then apply unchanged to a real artifact.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from neutts_tpu import config
+from neutts_tpu.models import codec as cd
+from neutts_tpu.models import convert_codec as cc
+
+FSQ_LEVELS = (4,) * 8
+VQ, D, H, I, LAYERS = 16, 32, 4, 48, 2
+N_FFT, HOP = 1920, 480
+
+
+# --- torch oracle: the documented XCodec2/Vocos decode path ---------------------
+
+
+def rope_rotate(x, theta=10_000.0):
+    """x: [B, T, H, hd] — interleaved-pair rotary embedding."""
+    B, T, Hh, hd = x.shape
+    inv = theta ** (-torch.arange(0, hd, 2, dtype=torch.float32) / hd)
+    ang = torch.arange(T, dtype=torch.float32)[:, None] * inv[None, :]
+    c, s = torch.cos(ang)[None, :, None, :], torch.sin(ang)[None, :, None, :]
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    return torch.stack([x1 * c - x2 * s, x2 * c + x1 * s], dim=-1).reshape(x.shape)
+
+
+class Attn(nn.Module):
+    def __init__(self, dim, heads, rope):
+        super().__init__()
+        self.heads, self.rope = heads, rope
+        self.to_q = nn.Linear(dim, dim)
+        self.to_k = nn.Linear(dim, dim)
+        self.to_v = nn.Linear(dim, dim)
+        self.to_out = nn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, T, Dm = x.shape
+        hd = Dm // self.heads
+        q = self.to_q(x).view(B, T, self.heads, hd)
+        k = self.to_k(x).view(B, T, self.heads, hd)
+        v = self.to_v(x).view(B, T, self.heads, hd)
+        if self.rope:
+            q, k = rope_rotate(q), rope_rotate(k)
+        a = torch.einsum("bthd,bshd->bhts", q, k) * hd**-0.5
+        a = a.softmax(dim=-1)
+        o = torch.einsum("bhts,bshd->bthd", a, v).reshape(B, T, Dm)
+        return self.to_out(o)
+
+
+class Mlp(nn.Module):
+    def __init__(self, dim, inter):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, inter)
+        self.fc2 = nn.Linear(inter, dim)
+
+    def forward(self, x):
+        return self.fc2(nn.functional.gelu(self.fc1(x)))
+
+
+class Block(nn.Module):
+    def __init__(self, dim, heads, inter, rope):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = Attn(dim, heads, rope)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = Mlp(dim, inter)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class ConvNeXtBlock(nn.Module):
+    def __init__(self, dim, inter):
+        super().__init__()
+        self.dwconv = nn.Conv1d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim)
+        self.pwconv1 = nn.Linear(dim, inter)
+        self.pwconv2 = nn.Linear(inter, dim)
+        self.gamma = nn.Parameter(torch.full((dim,), 1e-2))
+
+    def forward(self, x):  # [B, T, D]
+        h = self.dwconv(x.transpose(1, 2)).transpose(1, 2)
+        h = self.norm(h)
+        h = self.pwconv2(nn.functional.gelu(self.pwconv1(h)))
+        return x + self.gamma * h
+
+
+class Backbone(nn.Module):
+    def __init__(self, dim, heads, inter, layers, rope, convnext):
+        super().__init__()
+        self.embed = nn.Conv1d(dim, dim, 7, padding=3)
+        if convnext:
+            self.norm = nn.LayerNorm(dim)
+            self.convnext = nn.ModuleList(
+                [ConvNeXtBlock(dim, inter) for _ in range(layers)]
+            )
+        else:
+            self.transformers = nn.ModuleList(
+                [Block(dim, heads, inter, rope) for _ in range(layers)]
+            )
+        self.final_layer_norm = nn.LayerNorm(dim)
+        self.is_convnext = convnext
+
+    def forward(self, x):  # [B, T, D]
+        x = self.embed(x.transpose(1, 2)).transpose(1, 2)
+        if self.is_convnext:
+            x = self.norm(x)
+            for b in self.convnext:
+                x = b(x)
+        else:
+            for b in self.transformers:
+                x = b(x)
+        return self.final_layer_norm(x)
+
+
+class Head(nn.Module):
+    def __init__(self, dim, n_fft, hop):
+        super().__init__()
+        self.out = nn.Linear(dim, n_fft + 2)
+        self.n_fft, self.hop = n_fft, hop
+
+    def forward(self, x):  # [B, T, D] -> [B, T*hop] (Vocos ISTFT, same pad)
+        h = self.out(x)
+        F = self.n_fft // 2 + 1
+        mag = torch.exp(h[..., :F]).clip(max=1e2)
+        phase = h[..., F:]
+        spec = (mag * torch.cos(phase) + 1j * mag * torch.sin(phase)).transpose(1, 2)
+        win = torch.hann_window(self.n_fft)
+        T = spec.shape[-1]
+        ifft = torch.fft.irfft(spec, self.n_fft, dim=1, norm="backward")
+        ifft = ifft * win[None, :, None]
+        outsz = (T - 1) * self.hop + self.n_fft
+        pad = (self.n_fft - self.hop) // 2
+        y = nn.functional.fold(
+            ifft, output_size=(1, outsz), kernel_size=(1, self.n_fft),
+            stride=(1, self.hop),
+        )[:, 0, 0, pad:-pad]
+        wsq = win.square().expand(spec.shape[0], T, -1).transpose(1, 2)
+        env = nn.functional.fold(
+            wsq, output_size=(1, outsz), kernel_size=(1, self.n_fft),
+            stride=(1, self.hop),
+        )[:, 0, 0, pad:-pad]
+        return y / env
+
+
+class Quantizer(nn.Module):
+    """ResidualFSQ decode surface (project_out only — FSQ has no params)."""
+
+    def __init__(self, fsq_dim, vq_dim):
+        super().__init__()
+        self.project_out = nn.Linear(fsq_dim, vq_dim)
+
+
+class Generator(nn.Module):
+    def __init__(self, rope=True, convnext=False):
+        super().__init__()
+        self.quantizer = Quantizer(len(FSQ_LEVELS), VQ)
+        self.backbone = Backbone(D, H, I, LAYERS, rope, convnext)
+        self.head = Head(D, N_FFT, HOP)
+
+
+class TorchCodecModel(nn.Module):
+    """Decode-path oracle with xcodec2-family module names."""
+
+    def __init__(self, rope=True, convnext=False):
+        super().__init__()
+        self.generator = Generator(rope=rope, convnext=convnext)
+        self.fc_post_a = nn.Linear(VQ, D)
+
+    @torch.no_grad()
+    def decode_code(self, codes):  # [B, N] int64 -> [B, N*HOP]
+        d = []
+        rem = codes
+        for L in FSQ_LEVELS:
+            d.append(rem % L)
+            rem = rem // L
+        digits = torch.stack(d, dim=-1).float()
+        half = torch.tensor([L // 2 for L in FSQ_LEVELS], dtype=torch.float32)
+        zq = (digits - half) / half  # lucidrains normalized lattice
+        x = self.generator.quantizer.project_out(zq)
+        x = self.fc_post_a(x)
+        x = self.generator.backbone(x)
+        return self.generator.head(x)
+
+
+def _convert(model: nn.Module, **kw):
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    rec = cc.map_decoder_state_dict(sd, heads=H, **kw)
+    cfg = config.CodecConfig(**rec.cfg_kwargs)
+    params = {"enc": None, "dec": jax.tree.map(jnp.asarray, rec.params)}
+    return cfg, params
+
+
+@pytest.mark.parametrize("convnext", [False, True], ids=["transformer", "convnext"])
+def test_recovered_decoder_matches_torch_oracle(convnext):
+    torch.manual_seed(0)
+    model = TorchCodecModel(rope=not convnext, convnext=convnext).eval()
+    cfg, params = _convert(model)
+    assert cfg.dec_backbone == ("convnext" if convnext else "transformer")
+    assert cfg.dec_dim == D and cfg.dec_layers == LAYERS
+    assert cfg.dec_intermediate == I and cfg.n_fft == N_FFT
+    assert cfg.hop_out == HOP and cfg.vq_dim == VQ
+    assert cfg.codebook_size == 65_536
+
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 65_536, size=(2, 17))
+    want = model.decode_code(torch.from_numpy(codes)).numpy()
+    got = np.asarray(cd.decode(cfg, params, jnp.asarray(codes, jnp.int32)))
+    assert got.shape == want.shape == (2, 17 * HOP)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_fused_qkv_mapping_matches_split():
+    """A checkpoint with torch-MHA fused in_proj must map identically to the
+    equivalent split q/k/v projections."""
+    torch.manual_seed(2)
+    model = TorchCodecModel(rope=False).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    fused = {}
+    for k, v in sd.items():
+        if ".attn.to_q." in k:
+            kind = k.rsplit(".", 1)[1]  # weight|bias
+            base = k.replace(".to_q." + kind, "")
+            fused[f"{base}.in_proj_{kind}"] = np.concatenate(
+                [
+                    sd[k],
+                    sd[k.replace("to_q", "to_k")],
+                    sd[k.replace("to_q", "to_v")],
+                ],
+                axis=0,
+            )
+        elif ".attn.to_k." in k or ".attn.to_v." in k:
+            continue
+        elif ".attn.to_out." in k:
+            fused[k.replace("to_out", "out_proj")] = v
+        else:
+            fused[k] = v
+    rec_split = cc.map_decoder_state_dict(sd, heads=H, rope=False)
+    rec_fused = cc.map_decoder_state_dict(fused, heads=H, rope=False)
+    assert rec_split.cfg_kwargs == rec_fused.cfg_kwargs
+    for key in ("wq", "wk", "wv", "wo", "bq", "bk", "bv", "bo"):
+        np.testing.assert_array_equal(
+            rec_split.params["blocks"][key], rec_fused.params["blocks"][key]
+        )
+
+
+def test_unmapped_decode_key_raises():
+    torch.manual_seed(3)
+    model = TorchCodecModel().eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    sd["generator.backbone.mystery_gate.weight"] = np.zeros((3, 3), np.float32)
+    with pytest.raises(ValueError, match="mystery_gate"):
+        cc.map_decoder_state_dict(sd, heads=H)
+    # encoder/semantic keys outside the decode path are expected + ignored
+    sd.pop("generator.backbone.mystery_gate.weight")
+    sd["semantic_model.layers.0.w.weight"] = np.zeros((3, 3), np.float32)
+    sd["fc_prior.weight"] = np.zeros((3, 3), np.float32)
+    rec = cc.map_decoder_state_dict(sd, heads=H)
+    assert any("semantic" in k for k in rec.unmapped)
+
+
+def test_onnx_roundtrip_reader():
+    """Write a minimal well-formed ONNX ModelProto by hand (protobuf wire
+    format) and check read_onnx recovers initializers, nodes and attrs."""
+
+    def vint(n):
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def fld(no, wire, payload):
+        if wire == 2:
+            return vint((no << 3) | 2) + vint(len(payload)) + payload
+        if wire == 0:
+            return vint((no << 3) | 0) + vint(payload)
+        raise AssertionError
+
+    def tensor(name, arr):
+        msg = b""
+        for d in arr.shape:
+            msg += fld(1, 0, d)
+        msg += fld(2, 0, 1)  # float32
+        msg += fld(8, 2, name.encode())
+        msg += fld(9, 2, arr.astype("<f4").tobytes())
+        return msg
+
+    def node(op, name, ins, outs, attrs=()):
+        msg = b""
+        for i in ins:
+            msg += fld(1, 2, i.encode())
+        for o in outs:
+            msg += fld(2, 2, o.encode())
+        msg += fld(3, 2, name.encode())
+        msg += fld(4, 2, op.encode())
+        for aname, aval in attrs:
+            amsg = fld(1, 2, aname.encode()) + fld(3, 0, aval)
+            msg += fld(5, 2, amsg)
+        return msg
+
+    w = np.arange(12, dtype=np.float32).reshape(3, 4)
+    b = np.ones((3,), np.float32)
+    graph = (
+        fld(1, 2, node("MatMul", "mm", ["x", "w"], ["h"]))
+        + fld(1, 2, node("Add", "add", ["h", "b"], ["y"], attrs=[("axis", 1)]))
+        + fld(5, 2, tensor("w", w))
+        + fld(5, 2, tensor("b", b))
+        + fld(11, 2, fld(1, 2, b"x"))
+        + fld(12, 2, fld(1, 2, b"y"))
+    )
+    model_bytes = fld(1, 0, 7) + fld(7, 2, graph)  # ir_version + graph
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".onnx", delete=False) as f:
+        f.write(model_bytes)
+        path = f.name
+    m = cc.read_onnx(path)
+    np.testing.assert_array_equal(m.initializers["w"], w)
+    np.testing.assert_array_equal(m.initializers["b"], b)
+    assert [n.op_type for n in m.nodes] == ["MatMul", "Add"]
+    assert m.nodes[1].attrs == {"axis": 1}
+    assert m.graph_inputs == ["x"] and m.graph_outputs == ["y"]
+
+
+def test_safetensors_reader(tmp_path):
+    """Converter must ingest .safetensors state dicts (HF codec hosting
+    format) via the pure reader."""
+    from safetensors.numpy import save_file
+
+    torch.manual_seed(4)
+    model = TorchCodecModel(rope=False).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    p = tmp_path / "model.safetensors"
+    save_file(sd, str(p))
+    loaded = cc.load_torch_state_dict(p)
+    assert set(loaded) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(loaded[k], sd[k])
+
+
+def test_convert_codec_end_to_end(tmp_path):
+    """convert_codec on a torch .pt artifact -> decoder-only codec that
+    decodes; save_converted round-trips through npz."""
+    from neutts_tpu.models import checkpoint as ckpt
+
+    torch.manual_seed(5)
+    model = TorchCodecModel().eval()
+    pt = tmp_path / "neucodec.pt"
+    torch.save(model.state_dict(), pt)
+    cfg, params = cc.convert_codec(pt, heads=H)
+    codes = jnp.asarray(np.random.default_rng(0).integers(0, 65_536, (1, 9)))
+    wav = cd.decode(cfg, params, codes)
+    assert wav.shape == (1, 9 * HOP)
+    want = model.decode_code(torch.from_numpy(np.asarray(codes, np.int64))).numpy()
+    np.testing.assert_allclose(np.asarray(wav), want, atol=5e-5, rtol=1e-4)
+
+    cc.save_converted(tmp_path / "out", cfg, params)
+    re = ckpt.load_params(tmp_path / "out" / "codec.npz")
+    wav2 = cd.decode(cfg, {"enc": None, "dec": re["dec"]}, codes)
+    np.testing.assert_array_equal(np.asarray(wav), np.asarray(wav2))

@@ -128,6 +128,39 @@ def test_greedy_codes_bit_exact_vs_torch(name):
     assert ours == theirs
 
 
+CODEC_SRC = os.environ.get("NEUTTS_TPU_CODEC_SRC")
+
+
+@pytest.mark.skipif(
+    not (CODEC_SRC and Path(CODEC_SRC).exists()),
+    reason="set NEUTTS_TPU_CODEC_SRC to a real neucodec artifact "
+    "(.pt/.safetensors state dict or the shipped .onnx decoder)",
+)
+def test_converted_real_codec_decodes_samples():
+    """End-to-end artifact gate: ingest a REAL codec artifact with
+    models/convert_codec.py (shape-driven architecture recovery) and decode
+    the shipped dave codes. With NEUTTS_TPU_GOLDEN_WAV set (a .npy of the
+    torch reference's decode_code output for dave.pt), asserts waveform
+    allclose — the BASELINE.md north-star gate."""
+    import jax.numpy as jnp
+
+    from neutts_tpu.models import codec as cd
+    from neutts_tpu.models.convert_codec import convert_codec
+
+    cfg, params = convert_codec(CODEC_SRC)
+    assert cfg.codebook_size == 65_536
+    assert cfg.hop_out == 480
+    codes, _ = _load_sample("dave")
+    wav = np.asarray(cd.decode(cfg, params, jnp.asarray(codes)[None])[0])
+    assert wav.shape == (372 * 480,)
+    assert np.isfinite(wav).all()
+    golden = os.environ.get("NEUTTS_TPU_GOLDEN_WAV")
+    if golden:
+        want = np.load(golden)
+        assert wav.shape == want.shape
+        np.testing.assert_allclose(wav, want, atol=1e-3)
+
+
 @needs_weights
 def test_waveform_allclose_vs_reference_decode():
     """Codec decode of the shipped sample codes vs torch NeuCodec output.

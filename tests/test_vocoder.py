@@ -24,27 +24,63 @@ def test_exact_matches_codec(params):
     codes = rng.integers(0, 65_536, size=73).astype(np.int32)
     want = np.asarray(cd.decode(CFG, params, jnp.asarray(codes)[None])[0])
     got = voc(codes)
-    np.testing.assert_array_equal(got, want)
+    np.testing.assert_allclose(got, want, atol=2e-6)  # jit-vs-eager fp drift
 
 
-def test_chunked_matches_exact_interior(params):
-    voc_e = ExactVocoder(CFG, params)
+def test_chunked_matches_window_oracle(params):
+    """ChunkedVocoder must exactly implement the reference streaming window
+    semantics (reference neutts/neutts.py:407-429): per-window decode of
+    [lookback+overlap | chunk | lookforward+overlap], emit
+    [lb, lb+chunk+2*overlap), linear overlap-add at stride chunk*hop."""
+    from neutts_tpu.audio.overlap_add import linear_overlap_add
+
+    s = config.STREAMING
     voc_c = ChunkedVocoder(CFG, params)
     rng = np.random.default_rng(1)
-    for n in [25, 60, 137, 372]:
+    for n in [25, 60, 137]:
         codes = rng.integers(0, 65_536, size=n).astype(np.int32)
-        exact = voc_e(codes)
         chunked = voc_c(codes)
-        assert chunked.shape == exact.shape == (n * 480,)
-        # interior frames are sample-exact; only the zero-warmed first window
-        # and the fabricated tail lookforward differ (the same approximation
-        # the reference's own streaming mode makes vs its batch mode,
-        # neutts/neutts.py:407-429)
-        a, b = 8 * 480, max((n - 8) * 480, 8 * 480)
-        if b > a:
-            d = np.abs(chunked[a:b] - exact[a:b]).max()
-            assert d < 1e-4, (n, d)
-        assert np.abs(chunked - exact).max() < 0.2  # bounded at boundaries
+        assert chunked.shape == (n * 480,)
+
+        lb = s.lookback + s.overlap_frames
+        chunk = s.frames_per_chunk
+        n_chunks = max(1, -(-n // chunk))
+        padded = np.concatenate([
+            np.zeros(lb, np.int32), codes,
+            np.full(n_chunks * chunk - n + s.lookforward + s.overlap_frames,
+                    codes[-1], np.int32),
+        ])
+        frames = []
+        for i in range(n_chunks):
+            win = padded[i * chunk : i * chunk + voc_c.window]
+            wav = np.asarray(cd.decode(CFG, params, jnp.asarray(win)[None])[0])
+            emit = chunk + 2 * s.overlap_frames
+            frames.append(wav[lb * 480 : (lb + emit) * 480])
+        want = linear_overlap_add(frames, stride=s.stride_samples)[: n * 480]
+        np.testing.assert_allclose(chunked, want, atol=2e-6)
+
+
+def test_chunked_seam_free_when_receptive_field_fits(params):
+    """With a conv backbone (finite receptive field) and windows sized past
+    that field, the chunked mode must reproduce the full decode on interior
+    samples — the property the reference's window geometry is built on. (The
+    transformer backbone has global attention, so its windowed streaming is
+    approximate-by-design, exactly like the reference's own streaming mode.)"""
+    cfgc = CFG.scaled(dec_backbone="convnext")
+    pc = cd.init_params(cfgc, jax.random.PRNGKey(3))
+    # RF: embed k7 (+-3) + 2 convnext k7 blocks (+-3 each) + istft smear
+    # (n_fft-hop)/2/hop = 1.5 -> +-10.5 frames; use lookback/forward 16
+    s = config.StreamingConfig(lookback=16, lookforward=16)
+    voc_e = ExactVocoder(cfgc, pc)
+    voc_c = ChunkedVocoder(cfgc, pc, streaming=s)
+    rng = np.random.default_rng(4)
+    n = 137
+    codes = rng.integers(0, 65_536, size=n).astype(np.int32)
+    exact = voc_e(codes)
+    chunked = voc_c(codes)
+    # skip the zero-warmed head and fabricated tail windows
+    a, b = 20 * 480, (n - 20) * 480
+    np.testing.assert_allclose(chunked[a:b], exact[a:b], atol=1e-4)
 
 
 def test_chunked_single_compile(params):
