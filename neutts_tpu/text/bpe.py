@@ -78,12 +78,21 @@ class ByteLevelBPE:
             self.ids_to_tokens.setdefault(i, t)
         self._split = regex.compile(split_pattern)
         if self.added:
-            self._added_re = regex.compile(
-                "(" + "|".join(
-                    regex.escape(t)
-                    for t in sorted(self.added, key=len, reverse=True)
-                ) + ")"
+            # the NeuTTS vocab carries 65,536 <|speech_N|> added tokens — a
+            # literal alternation over all of them is pathological, so they
+            # collapse into one numeric branch (membership still checked
+            # against the added dict at match time)
+            speech_like = {
+                t for t in self.added if regex.fullmatch(r"<\|speech_\d+\|>", t)
+            }
+            others = sorted(
+                (t for t in self.added if t not in speech_like),
+                key=len, reverse=True,
             )
+            branches = [regex.escape(t) for t in others]
+            if speech_like:
+                branches.append(r"<\|speech_\d+\|>")
+            self._added_re = regex.compile("(" + "|".join(branches) + ")")
         else:
             self._added_re = None
         self._b2u = bytes_to_unicode()

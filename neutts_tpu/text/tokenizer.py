@@ -93,20 +93,44 @@ class ByteTokenizer:
 
 
 class HFTokenizer:
-    """Adapter over a local `transformers` tokenizer with the NeuTTS vocab.
+    """Real-checkpoint tokenizer with the NeuTTS vocab, self-contained.
 
-    `path` must be a local directory (no network in this environment); the
-    special/speech ids are read from the tokenizer itself so the layout is
-    exact for real checkpoints.
+    `path` may be a checkpoint directory (containing `tokenizer.json`), a
+    `tokenizer.json` file, or a `.gguf` file (vocab/merges read from
+    `tokenizer.ggml.*` metadata). All three load through the first-party
+    byte-level BPE (text/bpe.py, oracle-pinned vs the HF `tokenizers`
+    runtime in tests/test_bpe.py) — no `transformers` dependency. A
+    directory without tokenizer.json falls back to `transformers` if it is
+    importable.
+
+    The special/speech ids are read from the vocab itself so the layout is
+    exact for real checkpoints (including non-contiguous speech bases).
     """
 
     def __init__(self, path: str):
-        from transformers import AutoTokenizer  # lazy: heavy import
+        from pathlib import Path as _P
 
-        self._tok = AutoTokenizer.from_pretrained(path)
-        base = self._tok.convert_tokens_to_ids("<|speech_0|>")
-        n_text = self._tok.convert_tokens_to_ids(SPECIAL_TOKEN_NAMES[0])
-        if base is None or n_text is None or base == self._tok.unk_token_id:
+        p = _P(path)
+        self._tok = None
+        self._bpe = None
+        if p.suffix == ".gguf":
+            from neutts_tpu.text.bpe import ByteLevelBPE
+
+            self._bpe = ByteLevelBPE.from_gguf(p)
+        elif (p / "tokenizer.json").exists() or p.name == "tokenizer.json":
+            from neutts_tpu.text.bpe import ByteLevelBPE
+
+            jf = p if p.name == "tokenizer.json" else p / "tokenizer.json"
+            self._bpe = ByteLevelBPE.from_tokenizer_json(jf)
+        else:
+            from transformers import AutoTokenizer  # lazy fallback
+
+            self._tok = AutoTokenizer.from_pretrained(path)
+
+        base = self.convert_token_to_id("<|speech_0|>")
+        n_text = self.convert_token_to_id(SPECIAL_TOKEN_NAMES[0])
+        unk = self._tok.unk_token_id if self._tok is not None else None
+        if base is None or n_text is None or (unk is not None and base == unk):
             raise ValueError(f"tokenizer at {path} lacks NeuTTS speech tokens")
         layout = TokenLayout(n_text_tokens=n_text)
         if base != layout.speech_base:
@@ -115,19 +139,30 @@ class HFTokenizer:
             # build correct ids (r1's dead _speech_base_override, fixed).
             layout = TokenLayout(n_text_tokens=n_text, speech_base_override=base)
         self.layout = layout
-        self.pad_id = self._tok.pad_token_id or 0
+        self.pad_id = (
+            (self._tok.pad_token_id or 0) if self._tok is not None else 0
+        )
 
     @property
     def vocab_size(self) -> int:
-        return len(self._tok)
+        return len(self._tok) if self._tok is not None else self._bpe.vocab_size
 
     def convert_token_to_id(self, token: str) -> int:
+        if self._bpe is not None:
+            try:
+                return self._bpe.convert_token_to_id(token)
+            except KeyError:
+                return None
         return self._tok.convert_tokens_to_ids(token)
 
     def encode(self, text: str) -> List[int]:
+        if self._bpe is not None:
+            return self._bpe.encode(text)
         return self._tok.encode(text, add_special_tokens=False)
 
     def decode(self, ids: Sequence[int]) -> str:
+        if self._bpe is not None:
+            return self._bpe.decode(list(ids))
         return self._tok.decode(list(ids))
 
 
