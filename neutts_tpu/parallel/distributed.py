@@ -40,17 +40,21 @@ def initialize(
     Safe to call on a single host (no-op if already initialized or if no
     multi-process env is configured).
     """
-    if jax.process_count() > 1:
+    # NB: jax.process_count() would itself initialize the XLA backend and
+    # break jax.distributed.initialize — probe the distributed client only
+    if jax.distributed.is_initialized():
         return  # already initialized
+    if coordinator_address:
+        # explicit multi-process setup: failures must raise, not silently
+        # degrade to a single-process run
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return
     try:
-        if coordinator_address:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-        else:
-            jax.distributed.initialize()
+        jax.distributed.initialize()
     except Exception:
         # single-process run (no coordinator configured): local devices only
         pass
