@@ -905,21 +905,22 @@ def _reconcile_kernel(
 
     def kv_dmas(r):
         b = b0 + r
-        # base is 8-aligned by construction (128-aligned admission buckets +
-        # max_context % SEGMENT_ALIGN == 0, asserted in Engine.__init__, +
-        # 8-aligned segments). Used directly — a violated invariant must fail
-        # loudly in Mosaic, not be silently floored into cache corruption
-        # (ADVICE r1).
-        base = base_ref[b]
+        # `div*8` is a Mosaic DIVISIBILITY PROOF, not arithmetic: Mosaic
+        # cannot prove a dynamic index is 8-aligned and refuses the HBM slice
+        # without it ("Failed to prove that a tile index ... divisible by
+        # 8"). The value is identical to base by construction — admission
+        # buckets are 128-aligned and Engine.__init__ rejects max_context
+        # not a multiple of 128 (ADVICE r1), segments are 8-aligned.
+        base8 = lax.div(base_ref[b], 8) * 8  # == base (proved invariant)
         return [
             pltpu.make_async_copy(
                 sk_hbm.at[:, b, :, :],
-                k_out.at[:, b, pl.ds(base, seg), :],
+                k_out.at[:, b, pl.ds(base8, seg), :],
                 sem_kv.at[r, 0],
             ),
             pltpu.make_async_copy(
                 sv_hbm.at[:, b, :, :],
-                v_out.at[:, b, pl.ds(base, seg), :],
+                v_out.at[:, b, pl.ds(base8, seg), :],
                 sem_kv.at[r, 1],
             ),
         ]

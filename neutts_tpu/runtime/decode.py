@@ -136,7 +136,13 @@ def generate(
 
 # --- host-side helpers --------------------------------------------------------
 
-PROMPT_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048)
+# Dense 128-step buckets: compiles are LAZY (only buckets a workload actually
+# uses are jitted, and the persistent compile cache carries them across runs),
+# so density costs nothing at steady state while (a) cutting prefill padding
+# waste (a 390-token prompt pads to 512, not 768) and (b) capping the
+# worst-case left-pad at 127 — which keeps the serving cache slack small
+# (runtime/batching.py CACHE_SLACK) instead of growing every slot's KV cache.
+PROMPT_BUCKETS = tuple(range(128, 2048 + 1, 128))
 
 
 def bucket_length(n: int, buckets=PROMPT_BUCKETS) -> int:

@@ -109,7 +109,38 @@ _LEXICON = {
     "voice": "vˈɔɪs", "speech": "spˈiːtʃ", "audio": "ˈɔːdɪˌoʊ",
     "hello": "həlˈoʊ", "yes": "jˈɛs", "please": "plˈiːz",
     "thanks": "θˈæŋks", "thank": "θˈæŋk", "okay": "ˌoʊkˈeɪ",
+    # sample-transcript coverage (samples/dave.txt, samples/jo.txt) + common
+    # conversational words
+    "radio": "ɹˈeɪdɪˌoʊ", "dear": "dˈɪɹ", "friend": "fɹˈɛnd",
+    "friends": "fɹˈɛndz", "james": "dʒˈeɪmz", "clearly": "klˈɪɹli",
+    "whole": "hˈoʊl", "room": "ɹˈuːm", "froze": "fɹˈoʊz",
+    "turns": "tˈɜːnz", "turned": "tˈɜːnd", "completely": "kəmplˈiːtli",
+    "misspoken": "mɪsspˈoʊkən", "mentioned": "mˈɛnʃənd",
+    "mention": "mˈɛnʃən", "tried": "tɹˈaɪd", "genuinely": "dʒˈɛnjuːɪnli",
+    "impressed": "ɪmpɹˈɛst", "super": "sˈuːpɚ",
+    "responsive": "ɹɪspˈɑːnsɪv", "sounds": "sˈaʊndz", "clean": "klˈiːn",
+    "supports": "səpˈoːɹts", "support": "səpˈoːɹt", "cloning": "klˈoʊnɪŋ",
+    "clone": "klˈoʊn", "agent": "ˈeɪdʒənt", "agents": "ˈeɪdʒənts",
+    "feature": "fˈiːtʃɚ", "features": "fˈiːtʃɚz", "fun": "fˈʌn",
+    "highly": "hˈaɪli", "recommend": "ɹˌɛkəmˈɛnd",
+    "podcast": "pˈɑːdkæst", "podcasts": "pˈɑːdkæsts",
+    "conversation": "kˌɑːnvɚsˈeɪʃən", "conversations": "kˌɑːnvɚsˈeɪʃənz",
+    "messing": "mˈɛsɪŋ", "mess": "mˈɛs", "voiceover": "vˈɔɪsˌoʊvɚ",
+    "voiceovers": "vˈɔɪsˌoʊvɚz", "nice": "nˈaɪs", "model": "mˈɑːdəl",
+    "neuphonic": "nuːfˈɑːnɪk",
+    "machine": "məʃˈiːn", "text": "tˈɛkst", "real": "ɹˈiːəl",
+    "device": "dɪvˈaɪs", "instant": "ˈɪnstənt", "quality": "kwˈɑːlɪɾi",
 }
+
+# Contraction endings: espeak folds these into the host word
+# (i'd -> aɪd, we'll -> wiːl, they've -> ðeɪv, you're -> jʊɹ ...).
+_CONTRACTIONS = {
+    "'d": "d", "'ll": "l", "'ve": "v", "'re": "ɚ", "'m": "m", "'s": None,
+    "n't": "ənt",  # (didn't-style; stems like do/did are in the lexicon)
+}
+
+_VOICELESS = set("ptkfθsʃ")  # for -s / -ed voicing assimilation
+_SIBILANT_END = ("s", "z", "ʃ", "ʒ", "tʃ", "dʒ")
 
 # Ordered letter-to-sound rules: (pattern, ipa). Longest-match-first within
 # position. '^'/'$' anchor word boundaries. Plain, deterministic.
@@ -174,6 +205,9 @@ class RuleG2P:
         w = word.lower()
         if w in _LEXICON:
             return _LEXICON[w]
+        morph = self._morphology(w)
+        if morph is not None:
+            return morph
         out: List[str] = []
         i = 0
         final_e = w.endswith("e") and len(w) > 2
@@ -205,7 +239,50 @@ class RuleG2P:
                 return ipa[:k] + "ˈ" + ipa[k:]
         return ipa
 
+    @staticmethod
+    def _plural_s(stem_ipa: str) -> str:
+        """-s with voicing assimilation: sibilant+ɪz / voiceless+s / else z."""
+        if stem_ipa.endswith(_SIBILANT_END):
+            return stem_ipa + "ɪz"
+        if stem_ipa and stem_ipa[-1] in _VOICELESS:
+            return stem_ipa + "s"
+        return stem_ipa + "z"
+
+    def _morphology(self, w: str) -> Optional[str]:
+        """Contractions and productive suffixes on LEXICON stems — the bulk
+        of running-text forms espeak handles by the same composition."""
+        for suf, tail in _CONTRACTIONS.items():
+            if w.endswith(suf) and w[: -len(suf)] in _LEXICON:
+                stem = _LEXICON[w[: -len(suf)]]
+                if tail is None:  # 's: voicing-assimilated like plural -s
+                    return self._plural_s(stem)
+                return stem + tail
+        if w.endswith("es") and w[:-2] in _LEXICON and _LEXICON[w[:-2]].endswith(
+            _SIBILANT_END
+        ):
+            return _LEXICON[w[:-2]] + "ɪz"
+        if w.endswith("s") and not w.endswith("ss") and w[:-1] in _LEXICON:
+            return self._plural_s(_LEXICON[w[:-1]])
+        if w.endswith("ed"):
+            for stem_txt in (w[:-2], w[:-1]):  # walk+ed, like+d
+                if stem_txt in _LEXICON:
+                    stem = _LEXICON[stem_txt]
+                    if stem.endswith(("t", "d")):
+                        return stem + "ɪd"
+                    if stem[-1] in _VOICELESS:
+                        return stem + "t"
+                    return stem + "d"
+        if w.endswith("ing"):
+            for stem_txt in (w[:-3], w[:-3] + "e"):  # mess+ing, clone->cloning
+                if stem_txt in _LEXICON:
+                    return _LEXICON[stem_txt] + "ɪŋ"
+        if w.endswith("ly") and w[:-2] in _LEXICON:
+            return _LEXICON[w[:-2]] + "li"
+        return None
+
     def phonemize(self, text: str) -> str:
+        # curly apostrophes (U+2019) are apostrophes to espeak: "I’m" == "I'm"
+        text = text.replace("’", "'")
         text = expand_numbers(text)
         parts: List[str] = []
         for chunk in _PUNCT_RE.split(text):

@@ -118,3 +118,72 @@ def test_token_layout_speech_base_override():
     # contiguous default unchanged
     base = TokenLayout(n_text_tokens=100, codebook_size=16)
     assert base.speech_base == 106
+
+
+def test_g2p_covers_sample_transcripts_without_lts_fallback():
+    """Every word of the shipped sample transcripts must resolve through the
+    lexicon or morphology (suffixes/contractions), not the letter-to-sound
+    fallback — LTS output is the least espeak-like."""
+    from pathlib import Path
+
+    from neutts_tpu.text import g2p as g2p_mod
+    from neutts_tpu.text.g2p import RuleG2P, expand_numbers
+
+    g = RuleG2P()
+    missing = []
+    for name in ("dave", "jo"):
+        text = Path(f"/root/reference/samples/{name}.txt").read_text()
+        text = text.replace("’", "'")  # same normalization as phonemize()
+        for word in g2p_mod._WORD_RE.findall(expand_numbers(text)):
+            w = word.lower()
+            if w in g2p_mod._LEXICON or g._morphology(w) is not None:
+                continue
+            missing.append(w)
+    assert not missing, f"transcript words on LTS fallback: {sorted(set(missing))}"
+
+
+def test_g2p_morphology_composition():
+    from neutts_tpu.text.g2p import RuleG2P, _LEXICON
+
+    g = RuleG2P()
+    # -s voicing: voiceless stem -> s, voiced -> z, sibilant -> ɪz
+    assert g.word_to_ipa("books") == _LEXICON["book"] + "s"
+    assert g.word_to_ipa("rooms") == _LEXICON["room"] + "z"
+    assert g.word_to_ipa("faces") == _LEXICON["face"] + "ɪz"
+    # -ed voicing: t/d stems -> ɪd, voiceless -> t, voiced -> d
+    assert g.word_to_ipa("walked") == _LEXICON["walk"] + "t"
+    assert g.word_to_ipa("cleaned") == _LEXICON["clean"] + "d"
+    assert g.word_to_ipa("supported") == _LEXICON["support"] + "ɪd"
+    # contractions fold into the host word
+    assert g.word_to_ipa("i'd") == _LEXICON["i"] + "d"
+    assert g.word_to_ipa("we'll") == _LEXICON["we"] + "l"
+    # -ing with magic-e stems
+    assert g.word_to_ipa("cloning") == _LEXICON["clone"] + "ɪŋ"
+
+
+def test_g2p_matches_espeak_goldens():
+    """Fixture-gated espeak parity (VERDICT r1 #3): when
+    tests/fixtures/espeak_goldens.json exists (captured by
+    tools/capture_espeak_goldens.py in an espeak environment), RuleG2P must
+    reproduce the espeak phoneme strings exactly on the corpus."""
+    import json
+    from pathlib import Path
+
+    import pytest
+
+    from neutts_tpu.text.g2p import RuleG2P
+
+    fixture = Path(__file__).parent / "fixtures" / "espeak_goldens.json"
+    if not fixture.exists():
+        pytest.skip(
+            "no espeak goldens captured (run tools/capture_espeak_goldens.py "
+            "where espeak-ng is installed)"
+        )
+    goldens = json.loads(fixture.read_text())
+    g = RuleG2P()
+    mismatches = {
+        line: (g.phonemize(line), want)
+        for line, want in goldens.items()
+        if g.phonemize(line) != want
+    }
+    assert not mismatches, mismatches

@@ -1,0 +1,140 @@
+"""On-hardware staged==lockstep greedy parity check (repeatable).
+
+Round-1 validated the segment-staged serving decode against the per-step
+scatter path ad hoc (commit-message claim only); this tool makes it a
+checked-in, repeatable gate on a Pallas-ELIGIBLE geometry (fused KV width
+n_kv*head_dim = 128, the production shape class — the tiny CPU test configs
+fall back to XLA and never touch the kernels).
+
+Runs on whatever backend is active (the real TPU chip under axon; CPU with
+--interpret uses Pallas interpret mode). Compares, over several segments:
+
+  * greedy tokens emitted by `_decode_steps_staged` (staging writes + staged
+    flash kernel + Pallas reconcile) vs `_decode_steps_scatter`;
+  * slot lens/active flags;
+  * the DEQUANTIZED reconciled KV cache contents.
+
+Exit code 0 on parity; prints a one-line verdict for logs.
+
+Usage: python tools/check_staged_parity.py [--batch 64] [--segments 4]
+       [--interpret] [--steps 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--segments", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=16, help="steps per segment")
+    ap.add_argument("--prompt-bucket", type=int, default=128)
+    ap.add_argument("--interpret", action="store_true",
+                    help="force CPU + Pallas interpret mode (no TPU needed)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from neutts_tpu import config
+    from neutts_tpu.models import backbone as bb
+    from neutts_tpu.ops import attention as attn
+    from neutts_tpu.runtime import batching
+
+    # Pallas-eligible small config: n_kv * head_dim = 2 * 64 = 128
+    cfg = config.TINY.scaled(
+        n_heads=4, n_kv_heads=2, head_dim=64, hidden_size=128,
+        kv_dtype="int8", max_context=512,
+    )
+    eos = cfg.layout.speech_gen_end
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=4)
+    params = bb.init_params(cfg, jax.random.PRNGKey(0))
+
+    if args.interpret:
+        # interpret-mode Pallas for the STAGED path only; prefill and the
+        # scatter oracle take their XLA CPU routes (use_pallas_attention is
+        # False on CPU, and _decode_steps_staged is invoked directly below)
+        attn.decode_attention_staged = functools.partial(
+            attn.decode_attention_staged, interpret=True, row_block=4)
+        attn.reconcile_segment = functools.partial(
+            attn.reconcile_segment, interpret=True, row_block=4)
+
+    pallas_ok = bb.use_pallas_attention(cfg)
+    print(f"# backend={jax.devices()[0].platform} pallas_eligible={pallas_ok}")
+    if not pallas_ok and not args.interpret:
+        print("STAGED_PARITY SKIP: no TPU backend (use --interpret)")
+        return
+
+    B, Lp, S = args.batch, args.prompt_bucket, args.steps
+    assert S % batching.SEGMENT_ALIGN == 0
+    rng = np.random.default_rng(0)
+    toks = np.zeros((B, Lp), np.int32)
+    lens = np.zeros((B,), np.int32)
+    for j in range(B):
+        n = int(rng.integers(5, Lp))
+        toks[j, Lp - n:] = rng.integers(0, 300, size=n)
+        lens[j] = n
+    slots = np.arange(B, dtype=np.int32)
+
+    def admit():
+        state = batching.SlotState.create(cfg, B, jax.random.PRNGKey(3))
+        return batching.prefill_slots(
+            cfg, scfg, eos, params, state,
+            jnp.asarray(toks), jnp.asarray(lens), jnp.asarray(slots),
+        )
+
+    sA, sB = admit(), admit()
+    for seg in range(args.segments):
+        sA, outA = batching._decode_steps_staged(cfg, scfg, eos, S, params, sA)
+        sB, outB = batching._decode_steps_scatter(cfg, scfg, eos, S, params, sB)
+        a, b = np.asarray(outA), np.asarray(outB)
+        if not np.array_equal(a, b):
+            bad = np.argwhere(a != b)
+            print(f"STAGED_PARITY FAIL seg={seg}: {bad.shape[0]} token "
+                  f"mismatches, first at {bad[0]}")
+            sys.exit(1)
+    if not np.array_equal(np.asarray(sA.lens), np.asarray(sB.lens)):
+        print("STAGED_PARITY FAIL: lens mismatch")
+        sys.exit(1)
+    if not np.array_equal(np.asarray(sA.active), np.asarray(sB.active)):
+        print("STAGED_PARITY FAIL: active mismatch")
+        sys.exit(1)
+
+    # reconciled cache: compare dequantized values (the staged kernel's
+    # probability dots run bf16; byte-level rounding of +-1 LSB is expected,
+    # a placement bug would put unrelated vectors here)
+    lens_np = np.asarray(sA.lens)
+    worst = 0.0
+    for b_i in range(B):
+        n = int(lens_np[b_i])
+        for cache, scale in (("k", "k_scale"), ("v", "v_scale")):
+            da = np.asarray(getattr(sA.cache, cache)[:, b_i, :n], np.float32) \
+                * np.asarray(getattr(sA.cache, scale)[:, b_i, :n])[..., None]
+            db = np.asarray(getattr(sB.cache, cache)[:, b_i, :n], np.float32) \
+                * np.asarray(getattr(sB.cache, scale)[:, b_i, :n])[..., None]
+            worst = max(worst, float(np.abs(da - db).max()))
+    if worst > 0.15:
+        print(f"STAGED_PARITY FAIL: cache divergence {worst:.4f}")
+        sys.exit(1)
+
+    total = int(np.asarray(sA.lens).sum() - lens.sum())
+    print(
+        f"STAGED_PARITY OK: {args.segments} segments x {S} steps, B={B}, "
+        f"{total} tokens bit-equal, cache max dequant delta {worst:.4f}"
+    )
+
+
+if __name__ == "__main__":
+    main()
