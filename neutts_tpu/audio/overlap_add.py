@@ -37,26 +37,50 @@ class StreamingOverlapAdd:
 
     The reference re-joins the entire audio cache on every chunk
     (reference neutts/neutts.py:433-440) — O(n^2) over a long stream. This
-    keeps a rolling tail instead; emitted samples are final.
+    accumulates weighted samples + weights incrementally (true O(chunk) per
+    push); emitted samples are final. Supports a per-push stride so a small
+    low-latency FIRST chunk can be followed by standard-cadence chunks.
     """
 
     def __init__(self, stride: int):
-        self.stride = stride
-        self._frames: List[np.ndarray] = []
+        self.stride = stride  # default advance per push
+        self._out = np.zeros(0, np.float32)
+        self._wsum = np.zeros(0, np.float32)
+        self._offset = 0  # where the NEXT frame starts
+        self._emitted = 0
 
-    def push(self, frame: np.ndarray) -> np.ndarray:
-        """Add a chunk; returns newly-finalized samples."""
-        self._frames.append(np.asarray(frame))
-        joined = linear_overlap_add(self._frames, self.stride)
-        done_until = len(self._frames) * self.stride
-        emitted = getattr(self, "_emitted", 0)
-        out = joined[emitted:done_until]
-        self._emitted = done_until
-        return out
+    def _grow(self, n: int) -> None:
+        if n > self._out.shape[0]:
+            pad = n - self._out.shape[0]
+            self._out = np.concatenate([self._out, np.zeros(pad, np.float32)])
+            self._wsum = np.concatenate([self._wsum, np.zeros(pad, np.float32)])
+
+    def push(self, frame: np.ndarray, stride: int | None = None) -> np.ndarray:
+        """Add a chunk starting where the previous push left off, advance by
+        `stride` (defaults to the constructor stride); returns newly-finalized
+        samples (everything before the next frame's start is final)."""
+        stride = self.stride if stride is None else stride
+        f = np.asarray(frame, np.float32)
+        n = f.shape[-1]
+        end = self._offset + n
+        self._grow(end)
+        t = np.linspace(0, 1, n + 2, dtype=np.float32)[1:-1]
+        w = np.abs(0.5 - (t - 0.5))
+        self._out[self._offset : end] += w * f
+        self._wsum[self._offset : end] += w
+        self._offset += stride
+        done = min(self._offset, end)
+        out = self._out[self._emitted : done]
+        wsum = self._wsum[self._emitted : done]
+        assert wsum.size == 0 or wsum.min() > 0
+        self._emitted = done
+        return out / np.maximum(wsum, 1e-12)
 
     def flush(self) -> np.ndarray:
-        if not self._frames:
+        valid = np.nonzero(self._wsum > 0)[0]
+        hi = int(valid[-1]) + 1 if valid.size else 0
+        if hi <= self._emitted:
             return np.zeros(0, np.float32)
-        joined = linear_overlap_add(self._frames, self.stride)
-        emitted = getattr(self, "_emitted", 0)
-        return joined[emitted:]
+        out = self._out[self._emitted : hi] / self._wsum[self._emitted : hi]
+        self._emitted = hi
+        return out

@@ -297,10 +297,20 @@ class StreamingConfig:
     lookforward: int = 5
     lookback: int = 50
     hop_length: int = 480
+    # Size of the FIRST emitted chunk, in frames. The reference waits for a
+    # full 25+5 frames (~600 ms of decode) before any audio; a smaller first
+    # chunk (e.g. 10) cuts time-to-first-audio proportionally at the cost of
+    # one extra vocoder window. Default mirrors the reference cadence.
+    first_chunk_frames: int = 25
 
     @property
     def stride_samples(self) -> int:
         return self.frames_per_chunk * self.hop_length
+
+
+# Low-latency streaming preset: ~2.5x lower time-to-first-audio (first chunk
+# after 10+5 frames instead of 25+5), then standard 25-frame cadence.
+STREAMING_LOW_LATENCY_FIRST = 10
 
 
 STREAMING = StreamingConfig()

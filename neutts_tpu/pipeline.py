@@ -237,7 +237,13 @@ class NeuTTS:
 
         n_decoded_tokens = len(ref_code_list)
         ola = StreamingOverlapAdd(stride=s.stride_samples)
-        need = s.frames_per_chunk + s.lookforward
+        # first-chunk size: smaller than the steady cadence => first audio
+        # after cf+lookforward frames instead of 25+5 (TTFA knob,
+        # config.StreamingConfig.first_chunk_frames; default = reference)
+        cf = min(s.first_chunk_frames, s.frames_per_chunk)
+        seg_steps = (
+            cf + s.lookforward if cf < s.frames_per_chunk else s.frames_per_chunk
+        )
 
         def vocode_window(start: int, end: int, lo_emit: int, n_frames: int) -> np.ndarray:
             window = token_cache[start:end]
@@ -252,7 +258,7 @@ class NeuTTS:
                 self.backbone_cfg,
                 self.sampling,
                 self._eos,
-                s.frames_per_chunk,
+                seg_steps,
                 self.backbone_params,
                 state,
             )
@@ -264,19 +270,21 @@ class NeuTTS:
                 if 0 <= c < lay.codebook_size:
                     token_cache.append(c)
                     generated.append(c)
-            while len(token_cache) - n_decoded_tokens >= need:
+            while len(token_cache) - n_decoded_tokens >= cf + s.lookforward:
                 start = max(n_decoded_tokens - s.lookback - s.overlap_frames, 0)
-                end = n_decoded_tokens + s.frames_per_chunk + s.lookforward + s.overlap_frames
+                end = n_decoded_tokens + cf + s.lookforward + s.overlap_frames
                 chunk = vocode_window(
                     start,
                     min(end, len(token_cache)),
                     n_decoded_tokens,
-                    s.frames_per_chunk + 2 * s.overlap_frames,
+                    cf + 2 * s.overlap_frames,
                 )
-                out = ola.push(chunk)
-                n_decoded_tokens += s.frames_per_chunk
+                out = ola.push(chunk, stride=cf * self.hop_length)
+                n_decoded_tokens += cf
                 if out.size:
                     yield out
+                cf = s.frames_per_chunk  # steady cadence after first chunk
+                seg_steps = s.frames_per_chunk
 
         # tail flush (reference :442-465)
         remaining = len(token_cache) - n_decoded_tokens

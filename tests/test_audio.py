@@ -83,3 +83,38 @@ def test_watermark_roundtrip():
     # wrong key does not detect
     other = SpreadSpectrumWatermarker(key=123)
     assert other.get_watermark(marked, 24_000) < 0.2
+
+
+def test_streaming_overlap_add_variable_first_stride():
+    """A smaller first chunk (the TTFA path) with per-push stride must emit
+    contiguous, weight-normalized samples totalling the expected length."""
+    rng = np.random.default_rng(3)
+    hop, ov = 480, 1
+    first_cf, cf = 10, 25
+    chunks = [rng.normal(size=(first_cf + 2 * ov) * hop).astype(np.float32)]
+    chunks += [rng.normal(size=(cf + 2 * ov) * hop).astype(np.float32)
+               for _ in range(3)]
+    strides = [first_cf * hop] + [cf * hop] * 3
+    ola = StreamingOverlapAdd(stride=cf * hop)
+    emitted = [ola.push(c, stride=st) for c, st in zip(chunks, strides)]
+    tail = ola.flush()
+    total = sum(e.size for e in emitted) + tail.size
+    # coverage: frames span [0, sum(strides) + last chunk extent)
+    assert total == strides[0] + sum(strides[1:]) + 2 * ov * hop
+    out = np.concatenate(emitted + [tail])
+    assert np.isfinite(out).all()
+    # non-overlapped interior samples must pass through exactly (weight/weight)
+    a = (2 * ov) * hop  # past the first overlap region
+    b = strides[0] - 0 * hop
+    np.testing.assert_allclose(out[a:b], chunks[0][a:b], rtol=1e-6)
+
+
+def test_streaming_overlap_add_fixed_stride_matches_batch_still():
+    """Constant-stride streaming must still equal the batch join."""
+    rng = np.random.default_rng(4)
+    stride, n = 120, 160
+    frames = [rng.normal(size=n).astype(np.float32) for _ in range(5)]
+    batch = linear_overlap_add(frames, stride)
+    ola = StreamingOverlapAdd(stride)
+    got = np.concatenate([ola.push(f) for f in frames] + [ola.flush()])
+    np.testing.assert_allclose(got, batch, rtol=1e-5, atol=1e-6)
