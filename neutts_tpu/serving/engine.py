@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from neutts_tpu.config import BackboneConfig, SamplingConfig
+from neutts_tpu.config import BackboneConfig, SamplingConfig, round_up
 from neutts_tpu.runtime import batching
 from neutts_tpu.runtime.decode import bucket_length
 
@@ -199,6 +199,14 @@ class Engine:
                 break
             req = self._queue.popleft()
             Lp = min(bucket_length(len(req.prompt_ids)), self.cfg.max_context)
+            # Left-pad consumes physical cache headroom (batching.CACHE_SLACK);
+            # if a bucket function with large gaps would pad past the slack,
+            # the row could hit the physical bound before the reference's
+            # real-length cap and return silently truncated output (ADVICE r1,
+            # medium). Clamp to the tightest 128-aligned bucket — same set of
+            # sizes as the default PROMPT_BUCKETS, so no new compile variants.
+            if Lp - len(req.prompt_ids) > batching.CACHE_SLACK - self.segment_steps:
+                Lp = min(round_up(len(req.prompt_ids), 128), self.cfg.max_context)
             by_bucket.setdefault(Lp, []).append((slot, req))
             self._slot_req[slot] = req
             newly.append((slot, req))
