@@ -139,11 +139,17 @@ class Engine:
             self.state,
         )
         pending_first, self._pending_first = self._pending_first, None
-        return (newly, outs, self.state.active, pending_first)
+        # materialize a copy: the next dispatch donates self.state (pipelined
+        # run), which would delete this buffer before step_collect reads it.
+        # Snapshot the slot->request mapping too: a pipelined collect runs
+        # AFTER the next dispatch's admissions, and this segment's rows belong
+        # to the requests occupying the slots when it was dispatched.
+        return (newly, outs, self.state.active | False, pending_first,
+                list(self._slot_req))
 
     def step_collect(self, pending) -> None:
         """Readback + bookkeeping for a `step_dispatch` result."""
-        newly, outs, active_dev, pending_first = pending
+        newly, outs, active_dev, pending_first, slot_req = pending
         outs, active, first_tokens = jax.device_get(
             (outs, active_dev, pending_first)
         )
@@ -157,7 +163,7 @@ class Engine:
                 req.done = True
                 retire.append(slot)
         outs = np.asarray(outs)
-        for slot, req in enumerate(self._slot_req):
+        for slot, req in enumerate(slot_req):
             if req is None or req.done:
                 continue
             row = outs[slot]
@@ -170,10 +176,31 @@ class Engine:
                 retire.append(slot)
         self._retire_batch(retire)
 
-    def run(self) -> Dict[int, List[int]]:
-        """Drain queue + slots; returns {rid: generated tokens (no EOS)}."""
-        while self.pending():
-            self.step()
+    def run(self, pipelined: bool = True) -> Dict[int, List[int]]:
+        """Drain queue + slots; returns {rid: generated tokens (no EOS)}.
+
+        pipelined=True overlaps host work with device decode: segment N+1 is
+        dispatched BEFORE segment N's readback/bookkeeping, so the device
+        never idles on the host tick (~30 ms/tick through a tunneled TPU).
+        Ordering stays safe without device syncs: a dispatch only admits into
+        slots freed by already-collected segments, so every retire_slots is
+        queued before any prefill that reuses its slot. Rows that finish
+        during segment N keep decoding through segment N+1 (their tokens are
+        discarded) — admission lags one segment per slot turnover, the price
+        of hiding the host entirely.
+        """
+        if not pipelined:
+            while self.pending():
+                self.step()
+            return {r.rid: r.tokens for r in self.pop_finished()}
+        prev = None
+        while True:
+            pending = self.step_dispatch() if self.pending() else None
+            if prev is not None:
+                self.step_collect(prev)
+            prev = pending
+            if pending is None and not self.pending():
+                break
         return {r.rid: r.tokens for r in self.pop_finished()}
 
     # --- internals ------------------------------------------------------------
