@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--ref-codes", type=int, default=372, help="cloning prompt codes (dave.pt length)")
     ap.add_argument("--kv-dtype", default="int8", choices=["bfloat16", "int8", "int4"])
     ap.add_argument("--weights", default="int8", choices=["int8", "bfloat16"])
+    ap.add_argument("--first-chunk", type=int, default=None,
+                    help="frames in the FIRST chunk (TTFA knob, "
+                    "config.StreamingConfig.first_chunk_frames; e.g. 10 "
+                    "cuts time-to-first-audio ~2.3x vs the reference's 25)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -50,9 +54,16 @@ def main():
 
     cfg = config.BY_NAME[args.model].scaled(kv_dtype=args.kv_dtype)
     codec_cfg = config.CODEC_TINY if args.cpu else config.CODEC
+    import dataclasses
+
+    streaming = config.STREAMING
+    if args.first_chunk is not None:
+        streaming = dataclasses.replace(
+            streaming, first_chunk_frames=args.first_chunk)
     tts = NeuTTS.initialize_random(
         cfg, codec_cfg, seed=0,
         quantize="int8" if args.weights == "int8" else None,
+        streaming=streaming,
     )
     tts.vocoder_mode = "chunked"  # streaming: one compile for every window
     # random model never emits EOS: bound the run by draining N chunks only
