@@ -1049,3 +1049,145 @@ def reconcile_segment_xla(
         all_k, all_v, k_scale, v_scale, stag_k, stag_v, stag_ks, stag_vs,
         base, active, use_pallas=False,
     )
+
+
+def _scatter_prefill_kernel(
+    slot_ref,  # SMEM [G] int32 — destination cache row per admission row
+    prim_ref,  # SMEM [G] int32 — 1 for the first occurrence of a slot (the
+    #            engine pads partial groups by repeating the last admission;
+    #            duplicates carry identical data and are skipped here)
+    nk_hbm,  # HBM [L, G, Lp, KD] int8 — freshly-quantized prompt K per layer
+    nv_hbm,
+    k_in,  # HBM [L, B, T, KD] int8 (aliased with k_out)
+    v_in,
+    k_out,
+    v_out,
+    sem,  # DMA (rb, 2)
+    *,
+    row_block: int,
+    lp: int,
+):
+    """Write a grouped prefill's K/V into the slot cache: one strided
+    [L, Lp, KD] DMA per admission row per buffer — replaces the XLA scatter
+    that cost ~33 ms per [64, 512] admission group (~13% of serving prefill
+    admission; see tools/probe_prefill.py). Prompt data occupies cache slots
+    [0, Lp), so every destination offset is 0-aligned; Lp is a 128-multiple
+    admission bucket (Engine._admit), satisfying Mosaic's sublane tiling on
+    the time axis. Row indices (G source / B destination) are untiled axes
+    in the [L, rows, T, KD] layout, so size-1 row slices are legal — unlike
+    the f32 scale buffers, whose [.., rows, T] layout puts rows on the
+    sublane axis (that is why scales go through the dense XLA fold below,
+    same reasoning as reconcile_scales)."""
+    tile = pl.program_id(0)
+    b0 = tile * row_block
+
+    def dmas(r):
+        j = b0 + r
+        slot = slot_ref[j]
+        return [
+            pltpu.make_async_copy(
+                nk_hbm.at[:, j, :, :],
+                k_out.at[:, slot, pl.ds(0, lp), :],
+                sem.at[r, 0],
+            ),
+            pltpu.make_async_copy(
+                nv_hbm.at[:, j, :, :],
+                v_out.at[:, slot, pl.ds(0, lp), :],
+                sem.at[r, 1],
+            ),
+        ]
+
+    for r in range(row_block):
+        @pl.when(prim_ref[b0 + r] != 0)
+        def _():
+            for d in dmas(r):
+                d.start()
+
+    for r in range(row_block):
+        @pl.when(prim_ref[b0 + r] != 0)
+        def _():
+            for d in dmas(r):
+                d.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "interpret"))
+def _scatter_prefill_kv(
+    all_k, all_v, new_k, new_v, slots, primary,
+    *, row_block: int = 8, interpret: bool = False,
+):
+    L, B, T, KD = all_k.shape
+    G, Lp = new_k.shape[1], new_k.shape[2]
+    assert Lp % 128 == 0, Lp  # bucket alignment (see kernel docstring)
+    rb = row_block
+    while G % rb:
+        rb //= 2
+    rb = max(rb, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G // rb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        scratch_shapes=[pltpu.SemaphoreType.DMA((rb, 2))],
+    )
+    kernel = functools.partial(_scatter_prefill_kernel, row_block=rb, lp=Lp)
+    # operands: slots(0) primary(1) nk(2) nv(3) k(4) v(5); outputs alias 4/5
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(all_k.shape, all_k.dtype),
+            jax.ShapeDtypeStruct(all_v.shape, all_v.dtype),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(slots, primary.astype(jnp.int32), new_k, new_v, all_k, all_v)
+
+
+def scatter_prefill(
+    all_k: jax.Array,  # [L, B, T, K*D] int8 — updated in place (aliased)
+    all_v: jax.Array,
+    k_scale: jax.Array,  # [L, B, T] f32
+    v_scale: jax.Array,
+    new_k: jax.Array,  # [L, G, Lp, K*D] int8
+    new_v: jax.Array,
+    new_ks: jax.Array,  # [L, G, Lp] f32
+    new_vs: jax.Array,
+    slots: jax.Array,  # [G] int32 — destination cache rows
+    primary: jax.Array,  # [G] bool — first occurrence of each slot
+    *,
+    row_block: int = 8,
+    interpret: bool = False,
+):
+    """Admission-group cache write: prompt K/V + scales land in cache rows
+    `slots`, time slots [0, Lp). K/V via per-row Pallas DMA; scales via a
+    dense one-hot projection + static-slice update (no scatter anywhere).
+    Returns (all_k, all_v, k_scale, v_scale)."""
+    G, Lp = new_k.shape[1], new_k.shape[2]
+    B = all_k.shape[1]
+    all_k, all_v = _scatter_prefill_kv(
+        all_k, all_v, new_k, new_v, slots, primary,
+        row_block=row_block, interpret=interpret,
+    )
+    # scales: project admission rows onto cache rows (duplicates dropped by
+    # `primary`), then one static [.., :, :Lp] slice-update — no scatter
+    rowhot = (
+        (jnp.arange(B, dtype=jnp.int32)[None, :] == slots[:, None])
+        & primary[:, None]
+    )  # [G, B]
+    proj_ks = jnp.einsum(
+        "gb,lgs->lbs", rowhot.astype(jnp.float32), new_ks,
+        preferred_element_type=jnp.float32,
+    )
+    proj_vs = jnp.einsum(
+        "gb,lgs->lbs", rowhot.astype(jnp.float32), new_vs,
+        preferred_element_type=jnp.float32,
+    )
+    hit = jnp.any(rowhot, axis=0)[None, :, None]  # [1, B, 1]
+    k_scale = k_scale.at[:, :, :Lp].set(
+        jnp.where(hit, proj_ks, k_scale[:, :, :Lp])
+    )
+    v_scale = v_scale.at[:, :, :Lp].set(
+        jnp.where(hit, proj_vs, v_scale[:, :, :Lp])
+    )
+    return all_k, all_v, k_scale, v_scale

@@ -123,6 +123,25 @@ def prefill_slots(
 
     quant = state.cache.quantized
     int4 = state.cache.int4
+    # TPU int8 path: the scan emits the quantized prompt K/V as stacked
+    # outputs and ONE Pallas DMA kernel writes them to the slot rows after
+    # the scan — the per-layer XLA scatter it replaces cost ~33 ms per
+    # [64, 512] admission group (~13% of serving prefill admission time;
+    # tools/probe_prefill.py `writeonly`).
+    pallas_write = (
+        bb.use_pallas_attention(cfg) and quant and not int4 and Lp % 128 == 0
+    )
+
+    def body_stacked(x, lp_l):
+        # pallas_write mode: the cache NEVER enters the scan — an identity
+        # cache carry + a later aliased pallas_call defeats XLA's in-place
+        # aliasing and copies the multi-GB cache (measured: admit 3.9 -> 6.1 s
+        # at 512 slots). The scan emits stacked quantized K/V instead.
+        lp, l = lp_l
+        x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask, valid=valid)
+        kq, ksc = bb.quantize_kv(k.reshape(G, Lp, -1))
+        vq, vsc = bb.quantize_kv(v.reshape(G, Lp, -1))
+        return x, (kq, vq, ksc, vsc)
 
     def body(carry, lp_l):
         x, all_k, all_v, ks, vs, kp, vp = carry
@@ -158,15 +177,29 @@ def prefill_slots(
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     dummy = jnp.zeros((), jnp.float32)
-    (x, new_k, new_v, new_ks, new_vs, new_kp, new_vp), _ = lax.scan(
-        body,
-        (x, state.cache.k, state.cache.v,
-         state.cache.k_scale if quant else dummy,
-         state.cache.v_scale if quant else dummy,
-         state.cache.k_prev if int4 else dummy,
-         state.cache.v_prev if int4 else dummy),
-        (params["layers"], layer_ids),
-    )
+    new_kp, new_vp = dummy, dummy
+    if pallas_write:
+        from neutts_tpu.ops import attention as attn_ops
+
+        x, stacked = lax.scan(body_stacked, x, (params["layers"], layer_ids))
+        kq_st, vq_st, ks_st, vs_st = stacked  # each [L, G, Lp, ...]
+        eq = slots[:, None] == slots[None, :]
+        primary = jnp.argmax(eq, axis=1) == jnp.arange(G)  # first occurrence
+        new_k, new_v, new_ks, new_vs = attn_ops.scatter_prefill(
+            state.cache.k, state.cache.v,
+            state.cache.k_scale, state.cache.v_scale,
+            kq_st, vq_st, ks_st, vs_st, slots, primary,
+        )
+    else:
+        (x, new_k, new_v, new_ks, new_vs, new_kp, new_vp), _ = lax.scan(
+            body,
+            (x, state.cache.k, state.cache.v,
+             state.cache.k_scale if quant else dummy,
+             state.cache.v_scale if quant else dummy,
+             state.cache.k_prev if int4 else dummy,
+             state.cache.v_prev if int4 else dummy),
+            (params["layers"], layer_ids),
+        )
     x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     last = x[:, -1, :]  # left padding: the last position is always real
     logits = bb._logits(cfg, params, last, trim=False)  # [G, Vpad]

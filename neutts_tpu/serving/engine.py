@@ -240,10 +240,22 @@ class Engine:
         for Lp, items in by_bucket.items():
             i = 0
             while i < len(items):
-                take = min(max(self.ADMIT_GROUPS), len(items) - i)
+                rem = len(items) - i
+                # Group-size choice: padded rows are FULL-PRICE prefill
+                # compute (a 19-request bucket padded to G=64 runs 3.4x the
+                # useful work), while an extra dispatch costs one tunnel
+                # round-trip (~15-30 ms). Pad up only when the waste is
+                # small (<= G/4); otherwise take the largest group that fits
+                # and loop (19 -> 16 + 4-with-1-pad, not one G=64 call).
+                cover = min(g for g in self.ADMIT_GROUPS if g >= rem) \
+                    if rem <= max(self.ADMIT_GROUPS) else max(self.ADMIT_GROUPS)
+                if rem <= cover <= rem + cover // 4:
+                    G = cover
+                else:
+                    G = max(g for g in self.ADMIT_GROUPS if g <= rem)
+                take = min(G, rem)
                 group = items[i : i + take]
                 i += take
-                G = min(g for g in self.ADMIT_GROUPS if g >= take)
                 # pad a partial group by repeating its last admission — the
                 # duplicate slot indices re-write identical rows (idempotent)
                 group = group + [group[-1]] * (G - len(group))

@@ -253,3 +253,94 @@ def test_no_silent_truncation_with_large_bucket_pad(params, monkeypatch):
     rid = eng.submit(prompt, max_new=cap)
     results = eng.run()
     assert len(results[rid]) == cap, (len(results[rid]), cap)
+
+
+def test_pallas_prefill_write_matches_xla_scatter(params, monkeypatch):
+    """The Pallas admission-group cache write (scatter_prefill: one DMA per
+    row, replaces the per-layer XLA scatter) must land exactly the same
+    bytes: K/V, scales, and untouched neighbor slots. Runs the kernel in
+    interpret mode on a 128-aligned bucket (the production invariant)."""
+    import functools
+
+    from neutts_tpu.models import backbone as bbm
+    from neutts_tpu.ops import attention as attn
+    from neutts_tpu.runtime import batching
+
+    cfg8 = CFG.scaled(kv_dtype="int8")
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=1)
+    Lp, G = 128, 4
+    prompts = [[3, 1, 4, 1, 5], [9, 2, 6], [2, 7, 1, 8], [11]]
+    toks = np.zeros((G, Lp), np.int32)
+    lens = np.zeros((G,), np.int32)
+    for j, p in enumerate(prompts):
+        toks[j, Lp - len(p):] = p
+        lens[j] = len(p)
+    # slots 1,3,5,7 of 8 — the even slots must stay untouched; include a
+    # duplicated final admission (engine group padding) in a second call
+    slots = np.asarray([1, 3, 5, 7], np.int32)
+
+    def admit(force_pallas):
+        if force_pallas:
+            monkeypatch.setattr(bbm, "use_pallas_attention",
+                                lambda cfg=None: True)
+            monkeypatch.setattr(
+                attn, "scatter_prefill",
+                functools.partial(attn.scatter_prefill, interpret=True),
+            )
+        else:
+            monkeypatch.setattr(bbm, "use_pallas_attention",
+                                lambda cfg=None: False)
+        state = batching.SlotState.create(cfg8, 8, jax.random.PRNGKey(3))
+        return batching.prefill_slots(
+            cfg8, scfg, EOS, params, state,
+            jnp.asarray(toks), jnp.asarray(lens), jnp.asarray(slots),
+        )
+
+    sA = admit(True)
+    sB = admit(False)
+    np.testing.assert_array_equal(np.asarray(sA.token), np.asarray(sB.token))
+    np.testing.assert_array_equal(np.asarray(sA.lens), np.asarray(sB.lens))
+    np.testing.assert_array_equal(
+        np.asarray(sA.cache.k), np.asarray(sB.cache.k))
+    np.testing.assert_array_equal(
+        np.asarray(sA.cache.v), np.asarray(sB.cache.v))
+    np.testing.assert_array_equal(
+        np.asarray(sA.cache.k_scale), np.asarray(sB.cache.k_scale))
+    np.testing.assert_array_equal(
+        np.asarray(sA.cache.v_scale), np.asarray(sB.cache.v_scale))
+
+
+def test_pallas_prefill_write_duplicate_slots(params, monkeypatch):
+    """Engine group padding repeats the last admission: duplicate slot
+    indices must write the row exactly once (primary-occurrence gating)."""
+    import functools
+
+    from neutts_tpu.models import backbone as bbm
+    from neutts_tpu.ops import attention as attn
+    from neutts_tpu.runtime import batching
+
+    cfg8 = CFG.scaled(kv_dtype="int8")
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=1)
+    Lp, G = 128, 4
+    toks = np.zeros((G, Lp), np.int32)
+    toks[:2, Lp - 3:] = [5, 6, 7]
+    toks[2:, Lp - 2:] = [8, 9]  # rows 2,3 identical (padded duplicates)
+    lens = np.asarray([3, 3, 2, 2], np.int32)
+    toks[1, Lp - 3:] = [5, 6, 7]
+    slots = np.asarray([0, 2, 4, 4], np.int32)  # duplicate slot 4
+
+    monkeypatch.setattr(bbm, "use_pallas_attention", lambda cfg=None: True)
+    monkeypatch.setattr(
+        attn, "scatter_prefill",
+        functools.partial(attn.scatter_prefill, interpret=True),
+    )
+    state = batching.SlotState.create(cfg8, 6, jax.random.PRNGKey(3))
+    s = batching.prefill_slots(
+        cfg8, scfg, EOS, params, state,
+        jnp.asarray(toks), jnp.asarray(lens), jnp.asarray(slots),
+    )
+    # slot 4 got the duplicated row's data; slots 1,3,5 untouched (zero-init)
+    assert np.asarray(s.lens)[4] == Lp
+    assert np.any(np.asarray(s.cache.k[:, 4, :Lp]) != 0)
+    for empty in (1, 3, 5):
+        np.testing.assert_array_equal(np.asarray(s.cache.k[:, empty]), 0)

@@ -67,9 +67,21 @@ def main():
             (rng.integers(0, 1000, size=L) + layout.speech_base).tolist()
         )
 
-    # warmup: compile every admission group size + the decode segment
-    n_warm = min(sum(eng.ADMIT_GROUPS), args.slots, len(prompts))
-    for p in prompts[:n_warm]:
+    # warmup: compile every admission group size FOR EVERY PROMPT BUCKET the
+    # workload touches, plus the decode segment — an unwarmed (group, bucket)
+    # prefill variant compiling mid-run costs seconds and skews the measure
+    from neutts_tpu.runtime.decode import bucket_length
+
+    buckets = sorted({min(bucket_length(len(p)), cfg.max_context) for p in prompts})
+    warm = []
+    for b in buckets:
+        for g in eng.ADMIT_GROUPS:
+            warm += [[layout.speech_base + 1] * (b - 1)] * g
+    for chunk in range(0, len(warm), args.slots):
+        for p in warm[chunk : chunk + args.slots]:
+            eng.submit(p, max_new=2)
+        eng.run()
+    for p in prompts[: min(args.slots, len(prompts))]:
         eng.submit(p, max_new=2)
     t0 = time.perf_counter()
     eng.run()

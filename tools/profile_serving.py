@@ -61,10 +61,18 @@ def main():
             args.prompt_min, args.prompt_max + 1))) + layout.speech_base).tolist()
         for _ in range(args.requests)
     ]
-    # warmup compiles
-    for p in prompts[: min(sum(eng.ADMIT_GROUPS), args.slots)]:
-        eng.submit(p, max_new=2)
-    eng.run()
+    # warmup compiles: every (admission group, prompt bucket) variant
+    from neutts_tpu.runtime.decode import bucket_length
+
+    buckets = sorted({min(bucket_length(len(p)), cfg.max_context) for p in prompts})
+    warm = []
+    for b in buckets:
+        for g in eng.ADMIT_GROUPS:
+            warm += [[layout.speech_base + 1] * (b - 1)] * g
+    for chunk in range(0, len(warm), args.slots):
+        for p in warm[chunk : chunk + args.slots]:
+            eng.submit(p, max_new=2)
+        eng.run()
 
     for p in prompts:
         eng.submit(p, max_new=args.gen)
