@@ -24,9 +24,21 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--output_path", default="output_streaming.wav")
     ap.add_argument("--play", action="store_true", help="play via pyaudio")
+    ap.add_argument(
+        "--first_chunk_frames", type=int, default=None,
+        help="frames in the FIRST emitted chunk (low-latency knob: e.g. 10 "
+        "yields first audio ~2.3x sooner than the reference's 25-frame "
+        "cadence; later chunks use the standard cadence)",
+    )
     args = ap.parse_args()
 
     tts = build_tts(args)
+    if args.first_chunk_frames is not None:
+        import dataclasses
+
+        tts.streaming = dataclasses.replace(
+            tts.streaming, first_chunk_frames=args.first_chunk_frames
+        )
     ref_text = read_text_arg(args.ref_text)
     input_text = read_text_arg(args.input_text)
     ref_codes = (
