@@ -1117,7 +1117,7 @@ def _scatter_prefill_kv(
 ):
     L, B, T, KD = all_k.shape
     G, Lp = new_k.shape[1], new_k.shape[2]
-    assert Lp % 128 == 0, Lp  # bucket alignment (see kernel docstring)
+    assert Lp % 64 == 0, Lp  # bucket alignment (see kernel docstring)
     rb = row_block
     while G % rb:
         rb //= 2

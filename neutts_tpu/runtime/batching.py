@@ -23,9 +23,10 @@ the reference's RTX-4090 numbers come from vLLM continuous batching):
     neutts_tpu/serving/engine.py).
 
 Alignment invariant (what makes the reconcile DMA legal): admission buckets
-are multiples of 128 and segments a multiple of 8 steps, so every row that is
-active at a segment start has an 8-aligned settled length — exactly Mosaic's
-HBM sublane tiling granularity. `SEGMENT_ALIGN` pins it.
+are multiples of 64 (runtime/decode.py PROMPT_BUCKETS) and segments a
+multiple of 8 steps, so every row that is active at a segment start has an
+8-aligned settled length — exactly Mosaic's HBM sublane tiling granularity.
+`SEGMENT_ALIGN` pins it.
 
 All state lives on device between calls; only small token buffers cross the
 host boundary per segment.
@@ -57,7 +58,7 @@ SEGMENT_ALIGN = 8  # segment step counts must be multiples of this
 _MAX_BUCKET_GAP = max(
     b - a for a, b in zip((0,) + PROMPT_BUCKETS[:-1], PROMPT_BUCKETS)
 )
-CACHE_SLACK = round_up(_MAX_BUCKET_GAP - 1 + SEG_PAD, 128)  # 640
+CACHE_SLACK = round_up(_MAX_BUCKET_GAP - 1 + SEG_PAD, 128)  # 256
 
 
 def slot_cache_len(cfg: BackboneConfig) -> int:
@@ -129,7 +130,7 @@ def prefill_slots(
     # [64, 512] admission group (~13% of serving prefill admission time;
     # tools/probe_prefill.py `writeonly`).
     pallas_write = (
-        bb.use_pallas_attention(cfg) and quant and not int4 and Lp % 128 == 0
+        bb.use_pallas_attention(cfg) and quant and not int4 and Lp % 64 == 0
     )
 
     def body_stacked(x, lp_l):

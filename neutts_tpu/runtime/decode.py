@@ -136,13 +136,17 @@ def generate(
 
 # --- host-side helpers --------------------------------------------------------
 
-# Dense 128-step buckets: compiles are LAZY (only buckets a workload actually
+# Dense 64-step buckets: compiles are LAZY (only buckets a workload actually
 # uses are jitted, and the persistent compile cache carries them across runs),
 # so density costs nothing at steady state while (a) cutting prefill padding
-# waste (a 390-token prompt pads to 512, not 768) and (b) capping the
-# worst-case left-pad at 127 — which keeps the serving cache slack small
-# (runtime/batching.py CACHE_SLACK) instead of growing every slot's KV cache.
-PROMPT_BUCKETS = tuple(range(128, 2048 + 1, 128))
+# waste — padded rows/tokens are full-price prefill compute; at the serving
+# workload's 380-512-token prompts, 64-granularity halves the average pad vs
+# 128 — and (b) capping the worst-case left-pad at 63, which keeps the
+# serving cache slack small (runtime/batching.py CACHE_SLACK). Alignment:
+# every bucket is a multiple of 64, satisfying the staged-decode reconcile
+# (8-aligned bases) and the admission DMA kernel (ops/attention.py
+# scatter_prefill: int8 time-axis sublane tiling).
+PROMPT_BUCKETS = tuple(range(128, 2048 + 1, 64))
 
 
 def bucket_length(n: int, buckets=PROMPT_BUCKETS) -> int:

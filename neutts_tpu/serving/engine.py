@@ -60,10 +60,10 @@ class Engine:
         self.eos_id = eos_id
         self.n_slots = n_slots
         self.sampling = sampling or SamplingConfig()
-        # Staged-decode alignment invariant: admission buckets are 128-aligned
+        # Staged-decode alignment invariant: admission buckets are 64-aligned
         # and get clamped to max_context (see _admit), so max_context itself
-        # must stay segment-aligned or the reconcile DMA bases would misalign
-        # and corrupt the KV cache (ADVICE r1; ops/attention.py reconcile).
+        # must stay aligned or the reconcile DMA bases would misalign and
+        # corrupt the KV cache (ADVICE r1; ops/attention.py reconcile).
         if cfg.max_context % 128 != 0:
             raise ValueError(
                 f"max_context must be a multiple of 128 for serving "
@@ -230,10 +230,10 @@ class Engine:
             # if a bucket function with large gaps would pad past the slack,
             # the row could hit the physical bound before the reference's
             # real-length cap and return silently truncated output (ADVICE r1,
-            # medium). Clamp to the tightest 128-aligned bucket — same set of
+            # medium). Clamp to the tightest 64-aligned bucket — same set of
             # sizes as the default PROMPT_BUCKETS, so no new compile variants.
             if Lp - len(req.prompt_ids) > batching.CACHE_SLACK - self.segment_steps:
-                Lp = min(round_up(len(req.prompt_ids), 128), self.cfg.max_context)
+                Lp = min(round_up(len(req.prompt_ids), 64), self.cfg.max_context)
             by_bucket.setdefault(Lp, []).append((slot, req))
             self._slot_req[slot] = req
             newly.append((slot, req))
