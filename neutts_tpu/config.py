@@ -177,8 +177,11 @@ AIR = _lm(
 )
 
 # NeuTTS-Nano: ~120M active / ~229M incl. embeddings (reference README.md:45).
-# 512-wide embedding gives 217k x 512 = 111M embedding params; 12 x (hidden 768)
-# blocks give ~120M active.
+# GUESSED geometry (the real Nano checkpoint is not inspectable offline):
+# 512-wide embedding gives 217k x 512 = 111M embedding params; 24 x (hidden
+# 512, ffn 2816) blocks give ~109M active. Proportions follow the Qwen2.5
+# family recipe the Air derives from; the converter overrides every field
+# from a real checkpoint's config.json.
 NANO = _lm(
     "neutts-nano",
     DEFAULT_LAYOUT,

@@ -173,7 +173,8 @@ def hann_window(n: int) -> jax.Array:
     return 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * i / n))
 
 
-def istft_same(frames_spec_real, frames_spec_imag, n_fft: int, hop: int):
+def istft_same(frames_spec_real, frames_spec_imag, n_fft: int, hop: int,
+               n_valid=None):
     """Inverse STFT with "same" padding: [B, T, n_fft//2+1] spectra ->
     [B, T*hop] waveform.
 
@@ -181,11 +182,21 @@ def istft_same(frames_spec_real, frames_spec_imag, n_fft: int, hop: int):
     periodic Hann window, window-envelope normalization, crop of
     (n_fft - hop)//2 samples each side). Vectorized as irfft + R shifted
     adds where R = n_fft // hop — no scatter, all static shapes.
+
+    n_valid (scalar int32): length-masked mode — frames >= n_valid contribute
+    NOTHING (spectra zeroed, envelope windows excluded), so the first
+    n_valid*hop output samples match a T == n_valid call to float32 ULP.
+    Used by the bucketed vocoder to decode padded lengths with one compile
+    per bucket and no meaningful parity loss.
     """
     assert n_fft % hop == 0, (n_fft, hop)
     R = n_fft // hop
     B, T, F = frames_spec_real.shape
     assert F == n_fft // 2 + 1, (F, n_fft)
+    if n_valid is not None:
+        fmask = (jnp.arange(T) < n_valid)[None, :, None]
+        frames_spec_real = jnp.where(fmask, frames_spec_real, 0.0)
+        frames_spec_imag = jnp.where(fmask, frames_spec_imag, 0.0)
     spec = lax.complex(frames_spec_real, frames_spec_imag)
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [B, T, n_fft]
     win = hann_window(n_fft)
@@ -198,11 +209,15 @@ def istft_same(frames_spec_real, frames_spec_imag, n_fft: int, hop: int):
         acc = acc.at[:, j : j + T, :].add(fr[:, :, j, :])
     y = acc.reshape(B, (T + R - 1) * hop)
 
-    # window-square envelope (depends only on T; folded as a constant by jit)
+    # window-square envelope (static constant under jit unless masked)
     w2 = (win * win).reshape(R, hop)
+    if n_valid is None:
+        wmask = jnp.ones((T, 1), jnp.float32)
+    else:
+        wmask = (jnp.arange(T) < n_valid)[:, None].astype(jnp.float32)
     env = jnp.zeros((T + R - 1, hop), jnp.float32)
     for j in range(R):
-        env = env.at[j : j + T, :].add(jnp.broadcast_to(w2[j], (T, hop)))
+        env = env.at[j : j + T, :].add(w2[j] * wmask)
     env = env.reshape((T + R - 1) * hop)
 
     pad = (n_fft - hop) // 2
@@ -382,12 +397,20 @@ def _apply_rope(x, cos, sin):
     return jnp.stack([r1, r2], axis=-1).reshape(x.shape)
 
 
-def _transformer_backbone(cfg: CodecConfig, d: Params, x: jax.Array) -> jax.Array:
-    """Pre-norm bidirectional transformer over [B, T, D] frames."""
+def _transformer_backbone(cfg: CodecConfig, d: Params, x: jax.Array,
+                          n_valid=None) -> jax.Array:
+    """Pre-norm bidirectional transformer over [B, T, D] frames.
+
+    n_valid: optional scalar — attention keys >= n_valid are masked out, so
+    valid positions compute what a T == n_valid call would (pad terms are
+    exact zeros; every other op is per-position)."""
     B, T, D = x.shape
     H, hd = cfg.dec_heads, cfg.head_dim
     scale = hd**-0.5
     cos, sin = _rope_tables(cfg, T) if cfg.dec_rope else (None, None)
+    kmask = None
+    if n_valid is not None:
+        kmask = (jnp.arange(T) < n_valid)[None, None, None, :]  # [1,1,1,S]
 
     def block(x, lp):
         h = layer_norm(x, lp["norm1_s"], lp["norm1_b"], cfg.norm_eps)
@@ -398,7 +421,11 @@ def _transformer_backbone(cfg: CodecConfig, d: Params, x: jax.Array) -> jax.Arra
             q = _apply_rope(q, cos, sin)
             k = _apply_rope(k, cos, sin)
         s = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+        if kmask is not None:
+            s = jnp.where(kmask, s, -jnp.inf)
         a = jax.nn.softmax(s, axis=-1)
+        if kmask is not None:  # exp(-inf) = 0 exactly; keep pad V out anyway
+            a = jnp.where(kmask, a, 0.0)
         o = jnp.einsum("bhts,bshd->bthd", a, v).reshape(B, T, D)
         x = x + (o @ lp["wo"] + lp["bo"])
         h = layer_norm(x, lp["norm2_s"], lp["norm2_b"], cfg.norm_eps)
@@ -410,12 +437,21 @@ def _transformer_backbone(cfg: CodecConfig, d: Params, x: jax.Array) -> jax.Arra
     return x
 
 
-def _convnext_backbone(cfg: CodecConfig, d: Params, x: jax.Array) -> jax.Array:
-    """Vocos ConvNeXt backbone over [B, T, D] frames."""
+def _convnext_backbone(cfg: CodecConfig, d: Params, x: jax.Array,
+                       n_valid=None) -> jax.Array:
+    """Vocos ConvNeXt backbone over [B, T, D] frames.
+
+    n_valid: optional scalar — activations at frames >= n_valid are zeroed
+    before every depthwise conv, reproducing the zero 'same'-padding a
+    T == n_valid call sees at its boundary."""
+    vmask = None
+    if n_valid is not None:
+        vmask = (jnp.arange(x.shape[1]) < n_valid)[None, :, None]
     x = layer_norm(x, d["embed_norm_s"], d["embed_norm_b"], cfg.norm_eps)
 
     def block(x, lp):
-        h = conv1d(x, lp["dw_w"], lp["dw_b"], groups=x.shape[-1])
+        xin = x if vmask is None else jnp.where(vmask, x, 0.0)
+        h = conv1d(xin, lp["dw_w"], lp["dw_b"], groups=x.shape[-1])
         h = layer_norm(h, lp["norm_s"], lp["norm_b"], cfg.norm_eps)
         h = jax.nn.gelu(h @ lp["pw1_w"] + lp["pw1_b"], approximate=False)
         h = h @ lp["pw2_w"] + lp["pw2_b"]
@@ -425,32 +461,48 @@ def _convnext_backbone(cfg: CodecConfig, d: Params, x: jax.Array) -> jax.Array:
     return x
 
 
-def decode_from_latent(cfg: CodecConfig, params: Params, zq: jax.Array) -> jax.Array:
-    """zq: [B, T, fsq_dim] normalized lattice values -> wav [B, T*480] @24 kHz."""
+def decode_from_latent(cfg: CodecConfig, params: Params, zq: jax.Array,
+                       n_valid=None) -> jax.Array:
+    """zq: [B, T, fsq_dim] normalized lattice values -> wav [B, T*480] @24 kHz.
+
+    n_valid: optional scalar int32 — length-masked decode: samples
+    [0, n_valid*480) match decoding zq[:, :n_valid] alone to float32 ULP.
+    Lets the bucketed vocoder compile one shape per bucket with no
+    meaningful parity loss (see runtime/vocoder.py)."""
     d = params["dec"]
+    if n_valid is not None:
+        zq = jnp.where((jnp.arange(zq.shape[1]) < n_valid)[None, :, None], zq, 0.0)
     x = zq @ d["project_out_w"] + d["project_out_b"]  # ResidualFSQ project_out
     x = x @ d["post_a_w"] + d["post_a_b"]  # fc_post_a role
+    if n_valid is not None:
+        # embed conv (k7, zero 'same' padding): zeroed pad frames reproduce
+        # the boundary padding of an exact-length call for valid outputs
+        x = jnp.where((jnp.arange(x.shape[1]) < n_valid)[None, :, None], x, 0.0)
     x = conv1d(x, d["embed_w"], d["embed_b"])  # backbone embed (k7)
     if cfg.dec_backbone == "transformer":
-        x = _transformer_backbone(cfg, d, x)
+        x = _transformer_backbone(cfg, d, x, n_valid=n_valid)
     else:
-        x = _convnext_backbone(cfg, d, x)
+        x = _convnext_backbone(cfg, d, x, n_valid=n_valid)
     x = layer_norm(x, d["final_norm_s"], d["final_norm_b"], cfg.norm_eps)
     h = x @ d["head_w"] + d["head_b"]  # [B, T, n_fft + 2]
     F = cfg.n_fft // 2 + 1
     mag = jnp.exp(jnp.clip(h[..., :F], max=math.log(1e2)))  # Vocos clip
     phase = h[..., F:]
     return istft_same(
-        mag * jnp.cos(phase), mag * jnp.sin(phase), cfg.n_fft, cfg.hop_out
+        mag * jnp.cos(phase), mag * jnp.sin(phase), cfg.n_fft, cfg.hop_out,
+        n_valid=n_valid,
     )
 
 
-def decode(cfg: CodecConfig, params: Params, codes: jax.Array) -> jax.Array:
+def decode(cfg: CodecConfig, params: Params, codes: jax.Array,
+           n_valid=None) -> jax.Array:
     """codes [B, N] int32 -> wav [B, N*480] @24 kHz. Parity surface for
-    `NeuCodec.decode_code` (reference neutts/neutts.py:287-293)."""
+    `NeuCodec.decode_code` (reference neutts/neutts.py:287-293).
+
+    n_valid: optional scalar — length-masked decode (see decode_from_latent)."""
     digits = code_to_digits(codes, cfg.fsq_levels)
     zq = fsq_dequantize(digits, cfg.fsq_levels)
-    return decode_from_latent(cfg, params, zq)
+    return decode_from_latent(cfg, params, zq, n_valid=n_valid)
 
 
 # --- jitted entry points ---------------------------------------------------------

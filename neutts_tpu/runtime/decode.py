@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from neutts_tpu.config import BackboneConfig, SamplingConfig
+from neutts_tpu.config import round_up as _round_up
 from neutts_tpu.models import backbone as bb
 from neutts_tpu.ops import sampling as smp
 
@@ -61,7 +62,14 @@ def _generate_impl(
 ) -> GenerateResult:
     B, Lp = tokens.shape
     pad = (Lp - prompt_lens).astype(jnp.int32)
-    cache = bb.KVCache.create(cfg, B, max_len=cfg.max_context)
+    # Loop bound: every row stops once its REAL length (prompt_lens + new,
+    # excluding left-pad) reaches max_context — the reference's max_length
+    # semantics (neutts/neutts.py:340) count real tokens, so a padded row
+    # must not lose budget to its pad. The physical cache is sized for the
+    # worst case (write indices go up to Lp + cap - 1; pad eats slots).
+    cap = max(min(max_new, cfg.max_context - 1), 1)
+    cache_len = _round_up(Lp + cap, 128)
+    cache = bb.KVCache.create(cfg, B, max_len=cache_len)
 
     logits, cache = bb.prefill(cfg, params, tokens, prompt_lens, cache)
 
@@ -86,9 +94,6 @@ def _generate_impl(
         key=key,
     )
 
-    # hard cap: never write past the context window (reference max_length=2048)
-    cap = min(max_new, cfg.max_context - Lp)
-
     def cond(s: _LoopState):
         return (s.step < cap) & ~jnp.all(s.done)
 
@@ -99,7 +104,9 @@ def _generate_impl(
         )
         kstep, key = jax.random.split(s.key)
         nxt = sample(logits, s.step, kstep)
-        nxt = jnp.where(s.done, eos_id, nxt)
+        # per-row real-length cap (reference max_length counts real tokens)
+        in_ctx = (prompt_lens + s.step) < cfg.max_context
+        nxt = jnp.where(s.done | ~in_ctx, eos_id, nxt)
         out = lax.dynamic_update_slice(s.out, nxt[:, None], (0, s.step))
         newly_done = nxt == eos_id
         lengths = s.lengths + jnp.where(s.done, 0, 1)
@@ -256,10 +263,17 @@ def decode_segment(
     """
     B = state.token.shape[0]
 
+    T_phys = state.cache.max_len
+
     def body(i, carry):
         s, out = carry
         cur_index = s.prompt_end + s.step - 1
-        in_ctx = cur_index < cfg.max_context - 1
+        # Per-row REAL-length cap (reference max_length counts real tokens,
+        # not left-pad) plus the physical bound of the preallocated cache:
+        # the token emitted now is fed next step at slot prompt_end + step.
+        in_ctx = ((s.prompt_end - s.pad + s.step) < cfg.max_context) & (
+            s.prompt_end + s.step < T_phys
+        )
         logits, cache = bb.decode_step(
             cfg, params, s.token, s.cache, cur_index, s.pad, trim_logits=False
         )

@@ -30,13 +30,35 @@ from neutts_tpu.models import codec as cd
 
 
 class ExactVocoder:
-    """Per-length jitted decode with a compile cache."""
+    """Bit-exact decode with BUCKETED compile shapes.
 
-    def __init__(self, cfg: CodecConfig, params, max_cached: int = 32):
+    Code lengths are padded up to a small geometric bucket set and decoded
+    through the codec's length-masked path (models/codec.py `decode`
+    n_valid): pad frames contribute exact zeros everywhere (attention keys
+    masked, conv inputs zeroed, ISTFT spectra + envelope masked), so the
+    valid samples match an unpadded decode to float32 ULP (~1e-7 rel, pure
+    shape-dependent XLA fusion reordering; pinned by
+    tests/test_vocoder.py::test_masked_decode_ulp_exact) while a
+    serving-shaped workload (every utterance a distinct length) compiles at
+    most len(buckets) variants instead of one per length.
+
+    buckets=None disables padding (one compile per exact length, LRU) — the
+    mode the real-artifact parity gates pin against torch goldens.
+    """
+
+    def __init__(self, cfg: CodecConfig, params, max_cached: int = 32,
+                 buckets: Sequence[int] | None = (128, 512, 2048)):
         self.cfg = cfg
         self.params = params
         self._fns: Dict[int, object] = {}
         self._max = max_cached
+        self.buckets = tuple(buckets) if buckets else None
+
+        @jax.jit
+        def decode_masked(codes, n_valid):
+            return cd.decode(self.cfg, self.params, codes, n_valid=n_valid)
+
+        self._decode_masked = decode_masked
 
     def _fn(self, n: int):
         fn = self._fns.get(n)
@@ -52,9 +74,23 @@ class ExactVocoder:
             self._fns[n] = fn
         return fn
 
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        top = self.buckets[-1]
+        return ((n + top - 1) // top) * top
+
     def __call__(self, codes: Sequence[int] | np.ndarray) -> np.ndarray:
-        arr = jnp.asarray(np.asarray(codes, np.int32).reshape(1, -1))
-        return np.asarray(self._fn(arr.shape[1])(arr)[0])
+        arr = np.asarray(codes, np.int32).reshape(1, -1)
+        n = arr.shape[1]
+        if self.buckets is None:
+            return np.asarray(self._fn(n)(jnp.asarray(arr))[0])
+        nb = self._bucket(n)
+        padded = np.zeros((1, nb), np.int32)
+        padded[0, :n] = arr[0]
+        wav = self._decode_masked(jnp.asarray(padded), jnp.int32(n))
+        return np.asarray(wav[0, : n * self.cfg.hop_out])
 
 
 class ChunkedVocoder:

@@ -12,50 +12,14 @@ from neutts_tpu import config
 from neutts_tpu.models import backbone as bb
 from neutts_tpu.models import convert
 
+from synthetic_ckpt import write_hf_dir
+
 CFG = config.TINY
 
 
 def _synthetic_hf_dir(tmp_path, cfg, seed=0):
-    """Write a tiny Qwen2-style safetensors checkpoint."""
-    from safetensors.numpy import save_file
-
-    rng = np.random.default_rng(seed)
-    D, L, F = cfg.hidden_size, cfg.n_layers, cfg.intermediate_size
-    Q, KV, V = cfg.q_dim, cfg.kv_dim, cfg.vocab_size
-
-    def w(*shape):
-        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
-
-    t = {"model.embed_tokens.weight": w(V, D), "model.norm.weight": np.ones(D, np.float32)}
-    for i in range(L):
-        p = f"model.layers.{i}"
-        t[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
-        t[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
-        t[f"{p}.self_attn.q_proj.weight"] = w(Q, D)
-        t[f"{p}.self_attn.q_proj.bias"] = w(Q)
-        t[f"{p}.self_attn.k_proj.weight"] = w(KV, D)
-        t[f"{p}.self_attn.k_proj.bias"] = w(KV)
-        t[f"{p}.self_attn.v_proj.weight"] = w(KV, D)
-        t[f"{p}.self_attn.v_proj.bias"] = w(KV)
-        t[f"{p}.self_attn.o_proj.weight"] = w(D, Q)
-        t[f"{p}.mlp.gate_proj.weight"] = w(F, D)
-        t[f"{p}.mlp.up_proj.weight"] = w(F, D)
-        t[f"{p}.mlp.down_proj.weight"] = w(D, F)
-    save_file(t, str(tmp_path / "model.safetensors"))
-    hf_cfg = {
-        "vocab_size": V,
-        "hidden_size": D,
-        "num_hidden_layers": L,
-        "num_attention_heads": cfg.n_heads,
-        "num_key_value_heads": cfg.n_kv_heads,
-        "head_dim": cfg.head_dim,
-        "intermediate_size": F,
-        "rope_theta": cfg.rope_theta,
-        "rms_norm_eps": cfg.rms_norm_eps,
-        "tie_word_embeddings": True,
-    }
-    (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
-    return t
+    """Write a tiny Qwen2-style safetensors checkpoint (shared helper)."""
+    return write_hf_dir(tmp_path, cfg, seed=seed)
 
 
 def test_hf_roundtrip(tmp_path):

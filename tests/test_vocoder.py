@@ -27,6 +27,43 @@ def test_exact_matches_codec(params):
     np.testing.assert_allclose(got, want, atol=2e-6)  # jit-vs-eager fp drift
 
 
+@pytest.mark.parametrize("backbone", ["transformer", "convnext"])
+def test_masked_decode_ulp_exact(backbone):
+    """Length-masked decode at a padded bucket must match the unpadded decode
+    on valid samples to float32 ULP (pad frames contribute exact zeros; the
+    residual ~1e-7 rel difference is shape-dependent XLA fusion reordering,
+    measured 1.5e-8 convnext / 1.0e-7 transformer — what makes bucketed
+    ExactVocoder legitimately 'exact')."""
+    cfgb = CFG.scaled(dec_backbone=backbone)
+    p = cd.init_params(cfgb, jax.random.PRNGKey(5))
+    rng = np.random.default_rng(6)
+    for n, nb in [(7, 32), (73, 128), (100, 128)]:
+        codes = rng.integers(0, 65_536, size=n).astype(np.int32)
+        want = np.asarray(jax.jit(cd.decode, static_argnums=0)(
+            cfgb, p, jnp.asarray(codes)[None])[0])
+        padded = np.zeros(nb, np.int32)
+        padded[:n] = codes
+        got = np.asarray(
+            jax.jit(cd.decode, static_argnums=0)(
+                cfgb, p, jnp.asarray(padded)[None], jnp.int32(n)
+            )[0, : n * cfgb.hop_out]
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_exact_vocoder_compile_churn_bounded(params):
+    """100 random-length utterances must trigger <= 3 vocoder compiles
+    (r2 VERDICT #6: serving-shaped workloads previously compiled per length)."""
+    voc = ExactVocoder(CFG, params)
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        n = int(rng.integers(20, 500))
+        wav = voc(rng.integers(0, 65_536, size=n).astype(np.int32))
+        assert wav.shape == (n * CFG.hop_out,)
+    assert voc._decode_masked._cache_size() <= 3
+    assert not voc._fns  # per-length path never used with buckets on
+
+
 def test_chunked_matches_window_oracle(params):
     """ChunkedVocoder must exactly implement the reference streaming window
     semantics (reference neutts/neutts.py:407-429): per-window decode of

@@ -28,7 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/neutts_jax_cache")
+jax.config.update(  # repo-local: survives to driver runs (r2 lesson)
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from neutts_tpu import config
