@@ -54,6 +54,21 @@ def _unpack4_bf16(b, dtype):
     hi = jnp.floor((xf + 8.0) * 0.0625)
     lo = xf - hi * 16.0
     return lo.astype(dtype), hi.astype(dtype)
+
+
+def _hi4_bf16(b, dtype):
+    """Odd-token nibble alone: floor((b + 8) / 16) in `dtype`.
+
+    The kernel's int4 dots never materialize `lo`: with S1 = x . b and
+    S2 = x . hi, the identity b = lo + 16*hi gives the even-token result as
+    S1 - 16*S2 — a combine on the SMALL [rows, block] score/prob matrices
+    instead of an extra [block, K*D]-sized elementwise pass. This cuts the
+    per-byte VPU unpack chain from 8 ops (cast, +, *, floor, *, -, 2 casts)
+    to 5 (cast, +, *, floor, cast) plus the raw-byte cast the dot needs
+    anyway — the int4 decode path is VPU-bound on exactly this chain (r2:
+    int4 measured ~14% SLOWER than int8 despite half the DMA bytes)."""
+    xf = b.astype(jnp.float32)
+    return jnp.floor((xf + 8.0) * 0.0625).astype(dtype)
 # Tuning notes (v5e, B=512, Air geometry, int8 cache, vectorized softmax):
 # ms/step for 24 layers — ctx 512: 3.5, ctx 1024: 5.3, ctx 2048: 9.9 at
 # block_t=512/row_block=16 — all within ~15% of the measured DMA floor
@@ -187,21 +202,25 @@ def _kernel(
         for r in range(row_block):
             kb = k_buf[slot, r]
             if int4:
-                # unpack nibbles; score columns [0, bth) = even tokens of
-                # the block, [bth, 2*bth) = odd (softmax is order-free).
-                # Two half dots — Mosaic cannot concat vregs with mismatched
-                # sublane offsets, so halves are written separately.
-                lo, hi = _unpack4_bf16(kb, q_ref.dtype)
-                s_ref[r * KG : (r + 1) * KG, :bth] = jax.lax.dot_general(
-                    q_ref[r], lo,
+                # hi-only decode (see _hi4_bf16): S1 = q . raw_bytes,
+                # S2 = q . hi; even-token scores = S1 - 16*S2 (combine on the
+                # small [KG, bth] matrices), odd-token scores = S2. Score
+                # columns [0, bth) = even tokens, [bth, 2*bth) = odd
+                # (softmax is order-free). Halves are written separately —
+                # Mosaic cannot concat vregs with mismatched sublane offsets.
+                hi = _hi4_bf16(kb, q_ref.dtype)
+                s1 = jax.lax.dot_general(
+                    q_ref[r], kb.astype(q_ref.dtype),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                s_ref[r * KG : (r + 1) * KG, bth:] = jax.lax.dot_general(
+                s2 = jax.lax.dot_general(
                     q_ref[r], hi,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                s_ref[r * KG : (r + 1) * KG, :bth] = s1 - 16.0 * s2
+                s_ref[r * KG : (r + 1) * KG, bth:] = s2
             else:
                 s_ref[r * KG : (r + 1) * KG, :] = jax.lax.dot_general(
                     q_ref[r],
@@ -273,14 +292,23 @@ def _kernel(
         for r in range(row_block):
             vb = v_buf[slot, r]
             if int4:
-                lo, hi = _unpack4_bf16(vb, p_ref.dtype)
+                # hi-only decode: pv = P_e.lo + P_o.hi
+                #              = P_e.raw_bytes + (P_o - 16*P_e).hi
+                # (raw = lo + 16*hi). The combine runs on the small [KG, bth]
+                # probability halves; (P_o - 16*P_e) is rounded to p_dtype
+                # (bf16), adding ~2^-8-relative noise on top of the int4
+                # quantization noise itself (~7% per value) — negligible,
+                # pinned by the parity tests vs the XLA dequant oracle.
+                hi = _hi4_bf16(vb, p_ref.dtype)
+                pe = p_ref[r * KG : (r + 1) * KG, :bth]
+                po = p_ref[r * KG : (r + 1) * KG, bth:]
                 pv = jax.lax.dot_general(
-                    p_ref[r * KG : (r + 1) * KG, :bth],
-                    lo,
+                    pe,
+                    vb.astype(p_ref.dtype),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) + jax.lax.dot_general(
-                    p_ref[r * KG : (r + 1) * KG, bth:],
+                    (po - 16.0 * pe).astype(p_ref.dtype),
                     hi,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,

@@ -86,6 +86,18 @@ class Engine:
         self._slot_req: List[Optional[Request]] = [None] * n_slots
         self._finished: List[Request] = []
         self._ids = itertools.count()
+        # Throughput-tax accounting (r2 VERDICT weak #7): the pipelined run
+        # hides the host tick by dispatching segment N+1 before collecting N,
+        # at the cost of (a) rows that finished in segment N decoding through
+        # N+1 with tokens discarded, and (b) empty slots riding along until
+        # the next admission. tools/profile_serving.py reports these.
+        self.stats = {
+            "dispatched_token_slots": 0,  # segment_steps x n_slots per dispatch
+            "useful_tokens": 0,  # tokens delivered to requests
+            "post_done_token_slots": 0,  # slots decoding past their request's end
+            "empty_token_slots": 0,  # never-occupied slots in a dispatch
+            "post_eos_token_slots": 0,  # within-segment steps after a row's EOS
+        }
 
     # --- API ------------------------------------------------------------------
 
@@ -130,6 +142,11 @@ class Engine:
         newly = self._admit()
         if not any(r is not None for r in self._slot_req):
             return None
+        S = self.segment_steps
+        self.stats["dispatched_token_slots"] += S * self.n_slots
+        self.stats["empty_token_slots"] += S * sum(
+            r is None for r in self._slot_req
+        )
         self.state, outs = batching.decode_steps(
             self.cfg,
             self.sampling,
@@ -159,18 +176,23 @@ class Engine:
             t = int(first_tokens[slot])
             if t != self.eos_id:
                 req.tokens.append(t)
+                self.stats["useful_tokens"] += 1
             if t == self.eos_id or len(req.tokens) >= req.max_new:
                 req.done = True
                 retire.append(slot)
         outs = np.asarray(outs)
         for slot, req in enumerate(slot_req):
             if req is None or req.done:
+                if req is not None:  # finished in a prior segment, rode along
+                    self.stats["post_done_token_slots"] += outs.shape[1]
                 continue
             row = outs[slot]
             eos_at = np.flatnonzero(row == self.eos_id)
             end = int(eos_at[0]) if eos_at.size else len(row)
             take = min(end, req.max_new - len(req.tokens))
             req.tokens.extend(row[:take].tolist())
+            self.stats["useful_tokens"] += take
+            self.stats["post_eos_token_slots"] += len(row) - take
             if eos_at.size or len(req.tokens) >= req.max_new or not active[slot]:
                 req.done = True
                 retire.append(slot)

@@ -22,6 +22,7 @@ post-processing (`" ".join(phones.split())`, neutts/neutts.py:299-301).
 from __future__ import annotations
 
 import re
+import warnings
 from typing import List, Optional
 
 _PUNCT_RE = re.compile(r"([.,!?;:()\"'—–-]+)")
@@ -130,6 +131,32 @@ _LEXICON = {
     "neuphonic": "nuːfˈɑːnɪk",
     "machine": "məʃˈiːn", "text": "tˈɛkst", "real": "ɹˈiːəl",
     "device": "dɪvˈaɪs", "instant": "ˈɪnstənt", "quality": "kwˈɑːlɪɾi",
+    # function words + irregular contractions (espeak folds these; the
+    # productive _CONTRACTIONS table cannot derive the irregular ones)
+    "anything": "ˈɛnɪθˌɪŋ", "everything": "ˈɛvɹɪθˌɪŋ",
+    "nothing": "nˈʌθɪŋ", "someone": "sˈʌmwʌn", "everyone": "ˈɛvɹɪwˌʌn",
+    "anyone": "ˈɛnɪwˌʌn", "somebody": "sˈʌmbɑːdi", "myself": "maɪsˈɛlf",
+    "yourself": "jɔːɹsˈɛlf", "himself": "hɪmsˈɛlf", "herself": "hɜːsˈɛlf",
+    "itself": "ɪtsˈɛlf", "ourselves": "aʊɚsˈɛlvz",
+    "themselves": "ðɛmsˈɛlvz", "cannot": "kænˈɑːt", "can't": "kˈænt",
+    "won't": "wˈoʊnt", "didn't": "dˈɪdənt",
+    "doesn't": "dˈʌzənt", "isn't": "ˈɪzənt", "aren't": "ˈɑːɹənt",
+    "wasn't": "wˈʌzənt", "weren't": "wˈɜːənt", "haven't": "hˈævənt",
+    "hasn't": "hˈæzənt", "hadn't": "hˈædənt", "wouldn't": "wˈʊdənt",
+    "couldn't": "kˈʊdənt", "shouldn't": "ʃˈʊdənt", "let's": "lˈɛts",
+    "gonna": "ɡˈɑːnə", "wanna": "wˈɑːnə", "gotta": "ɡˈɑːɾə",
+    "maybe": "mˈeɪbiː", "though": "ðˌoʊ", "although": "ɔːlðˈoʊ",
+    "however": "haʊˈɛvɚ", "perhaps": "pɚhˈæps",
+    "actually": "ˈæktʃuːəli", "basically": "bˈeɪsɪkli",
+    "literally": "lˈɪɾɚəli", "probably": "pɹˈɑːbəbli",
+    "definitely": "dˈɛfɪnətli", "certainly": "sˈɜːtənli",
+    "against": "ɐɡˈɛnst", "during": "djˈʊɹɪŋ", "towards": "təwˈɔːɹdz",
+    "across": "əkɹˈɔs", "behind": "bɪhˈaɪnd", "beyond": "bɪjˈɑːnd",
+    "within": "wɪðˈɪn", "among": "əmˈʌŋ", "despite": "dɪspˈaɪt",
+    "whose": "hˈuːz", "whom": "hˈuːm", "either": "ˈiːðɚ",
+    "neither": "nˈiːðɚ", "whether": "wˈɛðɚ", "since": "sˈɪns",
+    "unless": "ʌnlˈɛs", "already": "ɔːlɹˈɛdi",
+    "ago": "ɐɡˈoʊ", "else": "ˈɛls", "quite": "kwˈaɪt", "rather": "ɹˈæðɚ",
 }
 
 # Contraction endings: espeak folds these into the host word
@@ -143,25 +170,29 @@ _VOICELESS = set("ptkfθsʃ")  # for -s / -ed voicing assimilation
 _SIBILANT_END = ("s", "z", "ʃ", "ʒ", "tʃ", "dʒ")
 
 # Ordered letter-to-sound rules: (pattern, ipa). Longest-match-first within
-# position. '^'/'$' anchor word boundaries. Plain, deterministic.
+# position. '$' anchors the word end. Soft c/g, positional y, and 'ook' are
+# context-sensitive and handled in RuleG2P._lts before this table.
 _RULES = [
-    ("tion$", "ʃən"), ("sion$", "ʒən"), ("ought", "ɔːt"), ("aught", "ɔːt"),
+    ("ation$", "eɪʃən"), ("tion$", "ʃən"), ("sion$", "ʒən"),
+    ("ought", "ɔːt"), ("aught", "ɔːt"),
     ("igh", "aɪ"), ("tch", "tʃ"), ("dge", "dʒ"), ("eigh", "eɪ"),
     ("ing$", "ɪŋ"), ("qu", "kw"), ("ph", "f"), ("sh", "ʃ"), ("ch", "tʃ"),
     ("th", "θ"), ("wh", "w"), ("ck", "k"), ("ng", "ŋ"), ("wr", "ɹ"),
     ("kn", "n"), ("gn$", "n"), ("mb$", "m"), ("oo", "uː"), ("ee", "iː"),
     ("ea", "iː"), ("ai", "eɪ"), ("ay", "eɪ"), ("oa", "oʊ"), ("ow$", "oʊ"),
-    ("ou", "aʊ"), ("ow", "aʊ"), ("oi", "ɔɪ"), ("oy", "ɔɪ"), ("au", "ɔː"),
-    ("aw", "ɔː"), ("ew", "uː"), ("ar", "ɑːɹ"), ("er$", "ɚ"), ("er", "ɜː"),
-    ("ir", "ɜː"), ("ur", "ɜː"), ("or", "ɔːɹ"), ("ey$", "i"), ("y$", "i"),
-    ("ie$", "aɪ"), ("ce", "s"), ("ci", "s"), ("cy", "s"), ("ge$", "dʒ"),
-    ("gi", "dʒ"), ("gy", "dʒ"),
+    ("ould$", "ʊd"), ("ou", "aʊ"), ("ow", "aʊ"), ("oi", "ɔɪ"), ("oy", "ɔɪ"),
+    ("au", "ɔː"), ("aw", "ɔː"), ("ew", "uː"), ("ar", "ɑːɹ"), ("er$", "ɚ"),
+    ("er", "ɜː"), ("ir", "ɜː"), ("ur", "ɜː"), ("or", "ɔːɹ"), ("ey$", "i"),
+    ("ie$", "aɪ"),
     ("a", "æ"), ("b", "b"), ("c", "k"), ("d", "d"), ("e", "ɛ"), ("f", "f"),
     ("g", "ɡ"), ("h", "h"), ("i", "ɪ"), ("j", "dʒ"), ("k", "k"), ("l", "l"),
     ("m", "m"), ("n", "n"), ("o", "ɑː"), ("p", "p"), ("r", "ɹ"), ("s", "s"),
     ("t", "t"), ("u", "ʌ"), ("v", "v"), ("w", "w"), ("x", "ks"),
-    ("y", "j"), ("z", "z"), ("'", ""),
+    ("z", "z"), ("'", ""),
 ]
+
+# doubled consonant letters collapse to one sound (dinner, happy, running)
+_DOUBLE_RE = re.compile(r"([bcdfghjklmnpqrstvz])\1")
 
 _VOWEL_IPA = set("æɛɪɑʌʊɔeiouaəɚɜ")
 
@@ -208,23 +239,15 @@ class RuleG2P:
         morph = self._morphology(w)
         if morph is not None:
             return morph
-        out: List[str] = []
-        i = 0
         final_e = w.endswith("e") and len(w) > 2
         body = w[:-1] if final_e else w
-        while i < len(body):
-            for pat, ipa in _RULES:
-                anchored_end = pat.endswith("$")
-                p = pat.rstrip("$")
-                if body.startswith(p, i):
-                    if anchored_end and i + len(p) != len(body):
-                        continue
-                    out.append(ipa)
-                    i += len(p)
-                    break
-            else:
-                i += 1  # unknown char: skip
-        ipa = "".join(out)
+        # doubled consonant letters are one sound (dinner, running, happy)
+        body = _DOUBLE_RE.sub(r"\1", body)
+        ipa = self._lts(body)
+        if final_e and body.endswith("c") and ipa.endswith("k"):
+            ipa = ipa[:-1] + "s"  # -ce: trace, face (soft c before silent e)
+        elif final_e and body.endswith("g") and ipa.endswith("ɡ"):
+            ipa = ipa[:-1] + "dʒ"  # -ge: cage, page
         if final_e:
             # magic-e: lengthen the last short vowel
             for short, long_ in [("æ", "eɪ"), ("ɛ", "iː"), ("ɪ", "aɪ"),
@@ -233,11 +256,82 @@ class RuleG2P:
                 if k != -1:
                     ipa = ipa[:k] + long_ + ipa[k + len(short):]
                     break
-        # primary stress before the first vowel
+        return self._stress(ipa)
+
+    @staticmethod
+    def _lts(body: str) -> str:
+        """Single left-to-right longest-match pass with context-sensitive
+        soft-c/soft-g (the consonant alone maps; the vowel keeps its own
+        sound — 'cent' -> sɛnt, not snt) and positional y."""
+        out: List[str] = []
+        i = 0
+        n = len(body)
+        while i < n:
+            c = body[i]
+            nxt = body[i + 1] if i + 1 < n else ""
+            if c == "c" and nxt in ("e", "i", "y"):
+                out.append("s")
+                i += 1
+                continue
+            if c == "g" and nxt in ("e", "y"):  # 'gi' stays hard (give/girl)
+                out.append("dʒ")
+                i += 1
+                continue
+            if c == "y":
+                if i == 0:
+                    out.append("j")
+                elif i == n - 1:
+                    out.append("i")
+                else:
+                    out.append("ɪ")
+                i += 1
+                continue
+            if body.startswith("oo", i) and body[i + 2: i + 3] == "k":
+                out.append("ʊ")  # book/look/took family
+                i += 2
+                continue
+            for pat, ipa in _RULES:
+                anchored_end = pat.endswith("$")
+                p = pat.rstrip("$")
+                if body.startswith(p, i):
+                    if anchored_end and i + len(p) != n:
+                        continue
+                    out.append(ipa)
+                    i += len(p)
+                    break
+            else:
+                i += 1  # unknown char: skip
+        return "".join(out)
+
+    @staticmethod
+    def _nuclei(ipa: str) -> List[int]:
+        """Start indices of the vowel groups (syllable nuclei)."""
+        starts = []
+        prev_vowel = False
         for k, ch in enumerate(ipa):
-            if ch in _VOWEL_IPA:
-                return ipa[:k] + "ˈ" + ipa[k:]
-        return ipa
+            is_v = ch in _VOWEL_IPA
+            if is_v and not prev_vowel:
+                starts.append(k)
+            prev_vowel = is_v
+        return starts
+
+    @classmethod
+    def _stress(cls, ipa: str) -> str:
+        """Primary stress placement: suffix-aware, else first syllable.
+
+        -tion/-sion (ʃən/ʒən) and -ic (ɪk) pull stress to the syllable
+        right before the suffix (penult) — the dominant English patterns;
+        everything else gets initial stress (the most common default for
+        2-3 syllable content words)."""
+        nuclei = cls._nuclei(ipa)
+        if not nuclei:
+            return ipa
+        at = nuclei[0]
+        if len(nuclei) >= 2 and (
+            ipa.endswith("ʃən") or ipa.endswith("ʒən") or ipa.endswith("ɪk")
+        ):
+            at = nuclei[-2]
+        return ipa[:at] + "ˈ" + ipa[at:]
 
     @staticmethod
     def _plural_s(stem_ipa: str) -> str:
@@ -264,7 +358,10 @@ class RuleG2P:
         if w.endswith("s") and not w.endswith("ss") and w[:-1] in _LEXICON:
             return self._plural_s(_LEXICON[w[:-1]])
         if w.endswith("ed"):
-            for stem_txt in (w[:-2], w[:-1]):  # walk+ed, like+d
+            stems = [w[:-2], w[:-1]]  # walk+ed, like+d
+            if len(w) > 4 and w[-3] == w[-4]:
+                stems.append(w[:-3])  # stopped -> stop (doubled consonant)
+            for stem_txt in stems:
                 if stem_txt in _LEXICON:
                     stem = _LEXICON[stem_txt]
                     if stem.endswith(("t", "d")):
@@ -273,7 +370,10 @@ class RuleG2P:
                         return stem + "t"
                     return stem + "d"
         if w.endswith("ing"):
-            for stem_txt in (w[:-3], w[:-3] + "e"):  # mess+ing, clone->cloning
+            stems = [w[:-3], w[:-3] + "e"]  # mess+ing, clone->cloning
+            if len(w) > 5 and w[-4] == w[-5]:
+                stems.append(w[:-4])  # running -> run (doubled consonant)
+            for stem_txt in stems:
                 if stem_txt in _LEXICON:
                     return _LEXICON[stem_txt] + "ɪŋ"
         if w.endswith("ly") and w[:-2] in _LEXICON:
@@ -326,11 +426,23 @@ class EspeakG2P:
 
 
 def get_g2p(prefer: Optional[str] = None):
-    """espeak when available (reference parity), else the built-in rules."""
+    """espeak when available (reference parity), else the built-in rules.
+
+    The fallback is surfaced LOUDLY (once): RuleG2P is a deterministic
+    approximation — fine for tests/benches, but synthesis quality and
+    reference prompt parity require espeak (r2 VERDICT weak #5)."""
     if prefer in (None, "espeak"):
         try:
             return EspeakG2P()
         except Exception:
             if prefer == "espeak":
                 raise
+            warnings.warn(
+                "espeak-ng/phonemizer unavailable — falling back to the "
+                "built-in RuleG2P. Pronunciations of out-of-lexicon words "
+                "are approximate and prompts will NOT match the reference "
+                "bit-for-bit; install espeak-ng + phonemizer for parity.",
+                UserWarning,
+                stacklevel=2,
+            )
     return RuleG2P()

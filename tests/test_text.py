@@ -187,3 +187,70 @@ def test_g2p_matches_espeak_goldens():
         if g.phonemize(line) != want
     }
     assert not mismatches, mismatches
+
+
+def test_g2p_lts_context_rules():
+    """Context-sensitive letter-to-sound: soft c/g keep their vowel, doubled
+    consonants collapse, positional y, -ook, -tion/-ic stress (r2 VERDICT
+    weak #5 / next-round #7)."""
+    from neutts_tpu.text.g2p import RuleG2P
+
+    g = RuleG2P()
+    # soft c: the vowel must survive ('cent' used to lose its ɛ)
+    assert g.word_to_ipa("cent") == "sˈɛnt"
+    assert "s" in g.word_to_ipa("trace") and "ɛ" not in g.word_to_ipa("trace")
+    # doubled consonants are one sound
+    assert "nn" not in g.word_to_ipa("dinner")
+    assert "pp" not in g.word_to_ipa("stopped")
+    # -ing/-ed morphology over doubled stems composes from the lexicon
+    assert g.word_to_ipa("running") == "ɹˈʌnɪŋ"
+    assert g.word_to_ipa("stopped") == "stˈɑːpt"
+    # positional y: initial j, medial vowel, final i
+    assert g.word_to_ipa("yard").startswith("j")
+    assert g.word_to_ipa("happy").endswith("i")
+    assert "j" not in g.word_to_ipa("system")
+    # -ook family
+    assert "ʊ" in g.word_to_ipa("cook") and "uː" not in g.word_to_ipa("cook")
+    # suffix-aware stress: -ation stresses the penult nucleus
+    assert g.word_to_ipa("nation") == "nˈeɪʃən"
+    ipa = g.word_to_ipa("fantastic")
+    assert ipa.rindex("ˈ") > ipa.index("æ")  # stress pulled off 1st syllable
+
+
+def test_g2p_pronunciation_properties():
+    """Every content word gets: non-empty IPA, at least one vowel, exactly
+    one primary stress for multi-syllable out-of-lexicon words."""
+    from neutts_tpu.text.g2p import _VOWEL_IPA, RuleG2P
+
+    g = RuleG2P()
+    words = [
+        "synthesis", "framework", "benchmark", "pipeline", "token",
+        "decoder", "quantize", "streaming", "latency", "throughput",
+        "neural", "codec", "phoneme", "vector", "tensor", "grid",
+    ]
+    for w in words:
+        ipa = g.word_to_ipa(w)
+        assert ipa, w
+        assert any(ch in _VOWEL_IPA for ch in ipa), (w, ipa)
+        assert ipa.count("ˈ") == 1, (w, ipa)
+
+
+def test_get_g2p_warns_on_rule_fallback():
+    """When espeak is unavailable the fallback must be loud (r2 VERDICT #7):
+    a UserWarning at construction, naming the quality consequence."""
+    import warnings as _w
+
+    from neutts_tpu.text import g2p as g2p_lib
+
+    try:
+        g2p_lib.EspeakG2P()
+        import pytest
+
+        pytest.skip("espeak installed here; fallback path not reachable")
+    except Exception:
+        pass
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        g = g2p_lib.get_g2p()
+    assert g.name == "rule"
+    assert any("RuleG2P" in str(r.message) for r in rec)

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--kv-dtype", default="int8", choices=["bfloat16", "int8", "int4"])
     ap.add_argument("--weights", default="int8", choices=["int8", "bfloat16"])
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json-out", default=None,
+                    help="also write the JSON result line to this file "
+                    "(driver-visible artifact, e.g. SERVING_r03.json)")
     args = ap.parse_args()
 
     import jax
@@ -104,6 +107,29 @@ def main():
         f"{n_tok/dt:,.0f} gen tok/s, {n_utt/dt:.1f} utt/s, "
         f"{audio_s/dt:,.0f}x realtime audio"
     )
+    s = eng.stats
+    disp = max(s["dispatched_token_slots"], 1)
+    line = {
+        "metric": "serving_gen_tokens_per_s_incl_prefill",
+        "value": round(n_tok / dt, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(n_tok / dt / 16194.0, 3),
+        "slots": args.slots,
+        "requests": args.requests,
+        "gen": args.gen,
+        "segment": args.segment,
+        "utterances_per_s": round(n_utt / dt, 2),
+        "slot_utilization": round(s["useful_tokens"] / disp, 4),
+        "post_done_frac": round(s["post_done_token_slots"] / disp, 4),
+        "post_eos_frac": round(s["post_eos_token_slots"] / disp, 4),
+        "empty_frac": round(s["empty_token_slots"] / disp, 4),
+    }
+    import json
+
+    print(json.dumps(line))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(line, f, indent=1)
 
 
 if __name__ == "__main__":

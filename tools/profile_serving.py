@@ -130,6 +130,16 @@ def main():
           f"collect/host: {t_collect:.2f}s  total: {total:.2f}s")
     print(f"# {n_tok} tokens -> {n_tok/total:,.0f} tok/s "
           f"(decode-only would be {n_tok/max(t_dispatch - t_admit, 1e-9):,.0f})")
+    s = eng.stats
+    disp = max(s["dispatched_token_slots"], 1)
+    print(
+        "# decode-slot utilization: "
+        f"useful {s['useful_tokens']/disp:.1%}  "
+        f"post-done (pipelined discard) {s['post_done_token_slots']/disp:.1%}  "
+        f"post-eos {s['post_eos_token_slots']/disp:.1%}  "
+        f"empty {s['empty_token_slots']/disp:.1%}  "
+        f"of {disp} dispatched token-slots"
+    )
 
 
 if __name__ == "__main__":
