@@ -40,6 +40,12 @@ def main() -> None:
                     help="backbone weight precision (int8 W8A8 matches the "
                     "reference's quantized-GGUF deployment regime; its Q4 "
                     "baselines are quantized too)")
+    ap.add_argument("--sampling", default="speech", choices=["speech", "full"],
+                    help="speech: sampling constrained to speech tokens + EOS "
+                    "with a pre-sliced 65.5k-column speech head (the TTS "
+                    "deployment mode; the reference regex-DROPS non-speech "
+                    "tokens, neutts.py:276, so constraining is behavior-"
+                    "preserving). full: unconstrained 217k-vocab head.")
     ap.add_argument("--prompt-len", type=int, default=512, help="primed KV length")
     ap.add_argument("--steps", type=int, default=128, help="decode steps per segment")
     ap.add_argument("--segments", type=int, default=2, help="timed segments "
@@ -91,6 +97,9 @@ def main() -> None:
     scfg = config.SamplingConfig(
         temperature=1.0, top_k=50, min_new_tokens=10**9, greedy=False
     )
+    if args.sampling == "speech":
+        scfg = scfg.constrained_to(cfg.layout)
+        params = bb.add_speech_head(cfg, params)
     eos = cfg.layout.speech_gen_end
 
     B, Lp = args.batch, args.prompt_len
@@ -133,6 +142,7 @@ def main() -> None:
                 "value": round(tok_s, 1),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINES[args.model], 3),
+                "sampling": args.sampling,
             }
         )
     )

@@ -15,7 +15,7 @@ Everything here is static (hashable) so configs can be closed over by jit.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 def round_up(x: int, m: int) -> int:
@@ -210,6 +210,35 @@ TINY = _lm(
 
 
 @dataclasses.dataclass(frozen=True)
+class SemanticConfig:
+    """w2v-BERT 2.0 Conformer geometry for the codec's SEMANTIC encoder
+    branch (models/semantic.py; defaults = the released facebook/
+    w2v-bert-2.0 the public XCodec2 lineage consumes)."""
+
+    input_dim: int = 160  # 80 log-mel bins x 2-frame stacking
+    hidden: int = 1024
+    n_layers: int = 24
+    n_heads: int = 16
+    intermediate: int = 4096
+    conv_kernel: int = 31
+    left_max: int = 64
+    right_max: int = 8
+    eps: float = 1e-5
+    # which layer's OUTPUT feeds the codec (XCodec2 taps hidden_states[16];
+    # index counts applied conformer layers, so 16 = after the 16th layer)
+    output_layer: int = 16
+
+    @property
+    def head_dim(self) -> int:
+        assert self.hidden % self.n_heads == 0
+        return self.hidden // self.n_heads
+
+    @property
+    def n_positions(self) -> int:
+        return self.left_max + self.right_max + 1
+
+
+@dataclasses.dataclass(frozen=True)
 class CodecConfig:
     """NeuCodec-equivalent: 16 kHz in -> 50 Hz FSQ codes -> 24 kHz out.
 
@@ -235,9 +264,13 @@ class CodecConfig:
     frame_rate: int = 50
     codebook_size: int = 65_536
     fsq_levels: Tuple[int, ...] = (4, 4, 4, 4, 4, 4, 4, 4)
-    # encoder: downsample 16000/50 = 320x (from-scratch trainable design; the
-    # real NeuCodec encode path also carries a w2v-BERT semantic branch that
-    # is only reachable via converted weights)
+    # encoder: downsample 16000/50 = 320x (from-scratch trainable design);
+    # when `semantic` is set the encoder ALSO carries the w2v-BERT semantic
+    # branch of the real NeuCodec encode path (models/semantic.py): tower
+    # features are projected to sem_proj_dim and concatenated with the
+    # acoustic features before the fc_prior projection
+    semantic: Optional[SemanticConfig] = None
+    sem_proj_dim: int = 1024
     enc_strides: Tuple[int, ...] = (2, 4, 5, 8)
     enc_channels: Tuple[int, ...] = (32, 64, 128, 256)
     enc_hidden: int = 256

@@ -179,6 +179,63 @@ def _logits(
     return jnp.dot(x, head, preferred_element_type=jnp.dtype(cfg.logits_dtype))
 
 
+def add_speech_head(cfg: BackboneConfig, params: Params) -> Params:
+    """Attach a pre-sliced SPEECH-VOCAB head for constrained decode.
+
+    TTS decode only ever legitimately emits speech-code tokens or
+    <|SPEECH_GENERATION_END|> — the reference even regex-DROPS anything else
+    (neutts/neutts.py:276), so constraining sampling to that range is
+    behavior-preserving (see ops/sampling.py constrain_to_speech). Those ids
+    are CONTIGUOUS at the top of the vocab (eos_id, then the 65,536 speech
+    codes), so the decode hot loop can use a head slice of
+    vocab_size - eos_id (~65.5k) columns instead of the full padded 217.6k:
+    3.3x less head matmul work, logits HBM traffic, and top-k input per
+    step. The slice is materialized ONCE here (per-step slicing would
+    re-tile the 0.2-0.4 GB head every step).
+
+    Sampled indices are offset by eos_id (index 0 == EOS); see
+    ops/sampling.py sample_step_speech.
+    """
+    if "lm_head_speech" in params:
+        return params
+    lay = cfg.layout
+    lo = lay.speech_gen_end
+    assert lay.speech_base == lo + 1, (
+        "speech head requires EOS immediately before the speech codes"
+    )
+    width = cfg.vocab_size - lo
+    from neutts_tpu.config import round_up as _ru
+
+    wpad = _ru(width, 256)
+    head = params["lm_head"] if "lm_head" in params else params["embed"].T
+    out = dict(params)
+    if isinstance(head, dict):  # int8 quantized head
+        q = head["q"][:, lo : lo + width]
+        s = head["s"][lo : lo + width]
+        q = jnp.pad(q, ((0, 0), (0, wpad - width)))
+        s = jnp.pad(s, (0, wpad - width))
+        out["lm_head_speech"] = {"q": q, "s": s}
+    else:
+        h = head[:, lo : lo + width]
+        out["lm_head_speech"] = jnp.pad(h, ((0, 0), (0, wpad - width)))
+    return out
+
+
+def _logits_speech(cfg: BackboneConfig, params: Params, x: jax.Array) -> jax.Array:
+    """LM head over the speech sub-vocab slice (see add_speech_head).
+    Returns [B, padded_width] in cfg.logits_dtype; column 0 is EOS and
+    column 1 + c is speech code c."""
+    head = params["lm_head_speech"]
+    if isinstance(head, dict):
+        return _mm(x, head).astype(jnp.dtype(cfg.logits_dtype))
+    return jnp.dot(x, head, preferred_element_type=jnp.dtype(cfg.logits_dtype))
+
+
+def speech_head_width(cfg: BackboneConfig) -> int:
+    """Number of REAL columns in the speech head (EOS + codebook)."""
+    return cfg.vocab_size - cfg.layout.speech_gen_end
+
+
 class KVCache(NamedTuple):
     """Preallocated per-layer KV cache: k/v are [L, B, T_max, n_kv * head_dim].
 
@@ -530,6 +587,7 @@ def prefill(
     tokens: jax.Array,  # [B, Lp] int32, LEFT-padded prompts
     prompt_lens: jax.Array,  # [B] int32 — true lengths (pad is at the front)
     cache: KVCache,
+    speech_head: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Process left-padded prompts; returns (last-position logits [B, V], cache).
 
@@ -604,7 +662,10 @@ def prefill(
         (params["layers"], layer_ids)
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = _logits(cfg, params, x[:, -1, :])
+    if speech_head:
+        logits = _logits_speech(cfg, params, x[:, -1, :])
+    else:
+        logits = _logits(cfg, params, x[:, -1, :])
     if int4:
         return logits, KVCache(new_k, new_v, new_ks, new_vs, new_kp, new_vp)
     if quant:
@@ -620,11 +681,14 @@ def decode_step(
     cur_index: jax.Array,  # scalar int32 — cache slot to write (= Lp + step)
     pad: jax.Array,  # [B] int32 — left-pad amounts from prefill
     trim_logits: bool = True,
+    speech_head: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """One AR decode step: returns (logits [B, V], new cache).
 
     trim_logits=False returns padded-vocab logits (see `_logits`); pair it
-    with the `vocab_size` argument of the sampling ops.
+    with the `vocab_size` argument of the sampling ops. speech_head=True
+    returns speech-sub-vocab logits instead (see add_speech_head); pair
+    with ops/sampling.py sample_step_speech.
     """
     from neutts_tpu.ops import attention as attn_ops
 
@@ -684,7 +748,10 @@ def decode_step(
         (params["layers"], layer_ids),
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = _logits(cfg, params, x[:, 0, :], trim=trim_logits)
+    if speech_head:
+        logits = _logits_speech(cfg, params, x[:, 0, :])
+    else:
+        logits = _logits(cfg, params, x[:, 0, :], trim=trim_logits)
     if int4:
         return logits, KVCache(new_k, new_v, new_ks, new_vs, new_kp, new_vp)
     if quant:

@@ -30,10 +30,13 @@ This module implements exactly that family:
   * an ISTFT head with hop 480 / n_fft 1920 "same" padding, vectorized as
     irfft + a 4-way shifted overlap-add (no scatter, MXU/VPU friendly).
 
-The encoder is a from-scratch trainable design (conv stages + projections +
-FSQ): the real NeuCodec *encoder* additionally consumes a w2v-BERT semantic
-branch that only exists via converted weights, so encode-side reference
-parity is gated on those; the decode path above is the product hot path.
+The encoder combines a from-scratch trainable acoustic branch (conv stages
++ projections + FSQ) with the real NeuCodec encode composition's w2v-BERT
+SEMANTIC branch (models/semantic.py + audio/mel.py, enabled by
+CodecConfig.semantic): tower features are projected and concatenated with
+the acoustic features before the fc_prior projection. Converted real
+checkpoints with encoder weights load the full composition
+(models/convert_codec.py map_encoder_state_dict).
 
 TPU-first choices: NWC layout (channels-last feeds the MXU), f32 compute for
 audio fidelity, backbone blocks scan-stacked so compile time is depth-
@@ -253,12 +256,21 @@ def init_params(cfg: CodecConfig, key: jax.Array) -> Params:
     p["enc"]["stages"] = stages
     p["enc"]["post_w"] = _winit(next(keys), (3, cin, cfg.enc_hidden))
     p["enc"]["post_b"] = jnp.zeros((cfg.enc_hidden,))
+    prior_in = cfg.enc_hidden
+    if cfg.semantic is not None:
+        from neutts_tpu.models import semantic as sem_mod
+
+        p["enc"]["semantic"] = sem_mod.init_params(cfg.semantic, next(keys))
+        p["enc"]["sem_proj_w"] = _winit(
+            next(keys), (cfg.semantic.hidden, cfg.sem_proj_dim))
+        p["enc"]["sem_proj_b"] = jnp.zeros((cfg.sem_proj_dim,))
+        prior_in += cfg.sem_proj_dim
     # fc_prior role: features -> vq_dim; then ResidualFSQ project_in -> fsq_dim.
     # project_in gain 6: the raw latent must SPAN the FSQ lattice cells at
     # init (tanh-bounded |z| ~ 1+), or every frame collapses into the center
     # cell and the quantizer passes no information.
-    p["enc"]["prior_w"] = _winit(next(keys), (cfg.enc_hidden, cfg.vq_dim))
-    p["enc"]["prior_b"] = _binit(next(keys), cfg.vq_dim, cfg.enc_hidden)
+    p["enc"]["prior_w"] = _winit(next(keys), (prior_in, cfg.vq_dim))
+    p["enc"]["prior_b"] = _binit(next(keys), cfg.vq_dim, prior_in)
     p["enc"]["project_in_w"] = _winit(next(keys), (cfg.vq_dim, cfg.fsq_dim), gain=6.0)
     p["enc"]["project_in_b"] = _binit(next(keys), cfg.fsq_dim, cfg.vq_dim)
 
@@ -329,16 +341,9 @@ def param_count(params: Params) -> int:
 # --- encoder --------------------------------------------------------------------
 
 
-def encode_features(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array:
-    """wav: [B, T] 16 kHz mono in [-1,1] -> features [B, T/320, vq_dim]."""
-    e = params.get("enc")
-    if e is None:
-        raise ValueError(
-            "decoder-only codec checkpoint: encoding reference audio needs "
-            "encoder weights (train them via neutts_tpu.train, or use "
-            "pre-encoded ref codes as in the reference's ONNX-decoder mode, "
-            "reference examples/onnx_example.py)"
-        )
+def acoustic_features(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array:
+    """wav: [B, T] 16 kHz mono in [-1,1] -> acoustic branch [B, T/320, H]."""
+    e = params["enc"]
     x = wav[..., None]  # [B, T, 1]
     x = conv1d(x, e["stem_w"], e["stem_b"])
     for st, s in zip(e["stages"], cfg.enc_strides):
@@ -348,18 +353,59 @@ def encode_features(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Arr
         r = conv1d(r, st["res1_w2"], st["res1_b2"])
         x = x + r
         x = conv1d(_act(x), st["down_w"], st["down_b"], stride=s)
-    x = conv1d(_act(x), e["post_w"], e["post_b"])
+    return conv1d(_act(x), e["post_w"], e["post_b"])
+
+
+def encode_features(cfg: CodecConfig, params: Params, wav: jax.Array,
+                    sem_feats=None) -> jax.Array:
+    """wav: [B, T] 16 kHz mono in [-1,1] -> features [B, T/320, vq_dim].
+
+    sem_feats: [B, T/320, semantic.input_dim] log-mel stacks from the host
+    front-end (audio/mel.py semantic_features over the 160-sample-padded
+    waveform — the padding aligns the 50 Hz fbank grid with the acoustic
+    hop). Required when cfg.semantic is set: the w2v-BERT tower output is
+    projected and CONCATENATED with the acoustic branch before the fc_prior
+    projection — the real NeuCodec/XCodec2 encode composition (reference
+    neutts/neutts.py:266-271 via the external neucodec package)."""
+    e = params.get("enc")
+    if e is None:
+        raise ValueError(
+            "decoder-only codec checkpoint: encoding reference audio needs "
+            "encoder weights (train them via neutts_tpu.train, or use "
+            "pre-encoded ref codes as in the reference's ONNX-decoder mode, "
+            "reference examples/onnx_example.py)"
+        )
+    x = acoustic_features(cfg, params, wav)
+    if cfg.semantic is not None:
+        if "semantic" not in e:
+            raise ValueError(
+                "cfg.semantic is set but the checkpoint has no semantic-"
+                "tower weights (params['enc']['semantic'])"
+            )
+        if sem_feats is None:
+            raise ValueError(
+                "cfg.semantic is set: pass sem_feats (audio/mel.py "
+                "semantic_features of the 160-padded waveform)"
+            )
+        from neutts_tpu.models import semantic as sem_mod
+
+        sem = sem_mod.forward(cfg.semantic, e["semantic"], sem_feats)
+        sem = sem @ e["sem_proj_w"] + e["sem_proj_b"]  # SemanticEncoder role
+        n = min(x.shape[1], sem.shape[1])
+        x = jnp.concatenate([x[:, :n], sem[:, :n]], axis=-1)
     return x @ e["prior_w"] + e["prior_b"]
 
 
-def encode_latent(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array:
+def encode_latent(cfg: CodecConfig, params: Params, wav: jax.Array,
+                  sem_feats=None) -> jax.Array:
     """wav [B, T] -> raw FSQ latent [B, T/320, fsq_dim] (pre-bound)."""
-    feats = encode_features(cfg, params, wav)
+    feats = encode_features(cfg, params, wav, sem_feats=sem_feats)
     e = params["enc"]
     return feats @ e["project_in_w"] + e["project_in_b"]
 
 
-def encode(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array:
+def encode(cfg: CodecConfig, params: Params, wav: jax.Array,
+           sem_feats=None) -> jax.Array:
     """wav [B, T@16k] -> int32 codes [B, floor(T/320)]. Parity surface for
     `NeuCodec.encode_code` (reference neutts/neutts.py:270).
 
@@ -369,7 +415,8 @@ def encode(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array:
     """
     T = wav.shape[-1]
     wav = wav[..., : (T // cfg.hop_in) * cfg.hop_in]
-    zb = fsq_bound(encode_latent(cfg, params, wav), cfg.fsq_levels)
+    zb = fsq_bound(encode_latent(cfg, params, wav, sem_feats=sem_feats),
+                   cfg.fsq_levels)
     digits = fsq_quantize(zb, cfg.fsq_levels)
     return digits_to_code(digits, cfg.fsq_levels)
 

@@ -9,13 +9,14 @@ The reference loads its codec from one of three artifact families
     — the most tractable artifact: weights inline, decode-path only).
 
 This module ingests all three into the checkpoint format of
-models/checkpoint.py, with DECODE-PATH scope: quantizer project_out,
-fc_post_a, Vocos-family backbone, ISTFT head (see models/codec.py for the
-architecture family). The real encoder additionally requires a w2v-BERT
-semantic tower; a converted artifact therefore yields a decoder-only codec —
-exactly the reference's "onnx decoder + pre-encoded refs" deployment mode
-(reference examples/onnx_example.py) — unless encoder weights are trained
-with neutts_tpu.train.
+models/checkpoint.py. Decode path: quantizer project_out, fc_post_a,
+Vocos-family backbone, ISTFT head (see models/codec.py for the architecture
+family). Encode path (map_encoder_state_dict): the w2v-BERT semantic tower
+(`semantic_model.*` -> models/semantic.py, oracle-tested vs transformers),
+the semantic projection + fc_prior fusion, and the acoustic branch — state
+dicts carrying these convert to a FULL codec; pure decoder artifacts stay
+decoder-only (the reference's "onnx decoder + pre-encoded refs" deployment
+mode, reference examples/onnx_example.py).
 
 Architecture recovery is SHAPE-DRIVEN: hyperparameters (fsq/vq dims, model
 width, depth, MLP width, n_fft, backbone family) are derived from the weight
@@ -341,7 +342,7 @@ def map_decoder_state_dict(
     fsq_levels: Optional[Tuple[int, ...]] = None,
     ignore_unmapped: Tuple[str, ...] = (
         "semantic", "fc_prior", "fc_post_s", "CodecEnc", "encoder",
-        "project_in", "discrim", "num_batches_tracked",
+        "project_in", "discrim", "num_batches_tracked", "enc.", "sem_proj",
     ),
 ) -> RecoveredDecoder:
     """Map a real-codec state dict onto our decoder tree, recovering the
@@ -357,6 +358,12 @@ def map_decoder_state_dict(
 
     for name, arr in sd.items():
         wb = _wb(name)
+        if any(tok in name for tok in ignore_unmapped):
+            # encoder-side / training-side families must be skipped BEFORE
+            # block bucketing: a semantic tower's `encoder.layers.N.` names
+            # would otherwise match the decoder block regex and corrupt the
+            # recovered stacks (map_encoder_state_dict handles them)
+            continue
         m = _BLOCK_RE.search(name)
         matched = False
         if m and wb:
@@ -538,16 +545,111 @@ def map_decoder_state_dict(
 # by the table above; map_decoder_state_dict handles both families.
 
 
+def map_encoder_state_dict(
+    sd: Dict[str, np.ndarray],
+    *,
+    semantic_output_layer: int = 16,
+) -> Optional[Tuple[Dict[str, Any], Dict[str, Any]]]:
+    """Map the ENCODER side of a full codec state dict: the w2v-BERT
+    semantic tower (`semantic_model.*`, shape-driven via
+    models/semantic.py), the semantic projection, and the fc_prior
+    fusion linear. Returns (cfg_overrides, enc_params) or None when the
+    state dict carries no encoder (decoder-only artifacts).
+
+    The acoustic branch accepts two layouts:
+      * our canonical tree (keys `enc.stem_w`, `enc.stages.N.*`, ... — what
+        neutts_tpu.train checkpoints serialize);
+      * absent acoustic weights with a semantic tower present -> raises
+        with the unmapped key list (a real NeuCodec acoustic encoder whose
+        conv layout we have not yet recovered must fail LOUDLY, never
+        silently drop to decoder-only).
+    """
+    from neutts_tpu.models import semantic as sem_mod
+
+    has_semantic = any(k.startswith("semantic_model.") for k in sd)
+    has_ours = any(k.startswith("enc.") for k in sd)
+    if not has_semantic and not has_ours:
+        return None
+
+    enc: Dict[str, Any] = {}
+    cfg_over: Dict[str, Any] = {}
+
+    if has_semantic:
+        scfg, tower = sem_mod.from_hf_state_dict(sd, prefix="semantic_model.")
+        scfg = type(scfg)(**{**scfg.__dict__,
+                             "output_layer": semantic_output_layer})
+        cfg_over["semantic"] = scfg
+        enc["semantic"] = tower
+        # semantic projection (XCodec2 SemanticEncoder role). Accept a plain
+        # linear under common names; a conv-stack SemanticEncoder we can't
+        # map yet must raise below via the unmapped list.
+        for base in ("sem_proj", "SemanticEncoder", "fc_post_s"):
+            w = sd.get(f"{base}.weight")
+            if w is not None and w.ndim == 2:
+                enc["sem_proj_w"] = np.ascontiguousarray(w.T)
+                enc["sem_proj_b"] = sd.get(
+                    f"{base}.bias", np.zeros(w.shape[0], np.float32)
+                )
+                cfg_over["sem_proj_dim"] = int(w.shape[0])
+                break
+        else:
+            raise ValueError(
+                "semantic tower present but no mappable semantic projection "
+                "(expected a linear at sem_proj./SemanticEncoder./fc_post_s.); "
+                f"encoder-side keys: "
+                f"{sorted(k for k in sd if 'emantic' in k and 'semantic_model' not in k)[:12]}"
+            )
+        w = sd.get("fc_prior.weight")
+        if w is None:
+            raise ValueError(
+                "semantic tower present but fc_prior.{weight,bias} missing — "
+                "cannot build the fused prior projection"
+            )
+        enc["prior_w"] = np.ascontiguousarray(w.T)
+        enc["prior_b"] = sd.get("fc_prior.bias",
+                                np.zeros(w.shape[0], np.float32))
+
+    if has_ours:
+        # our canonical flat serialization (checkpoint.py dotted keys)
+        stages: Dict[int, Dict[str, np.ndarray]] = {}
+        for k, v in sd.items():
+            if not k.startswith("enc."):
+                continue
+            sub = k[len("enc."):]
+            m = re.match(r"stages\.(\d+)\.(.+)", sub)
+            if m:
+                stages.setdefault(int(m.group(1)), {})[m.group(2)] = v
+            else:
+                enc.setdefault(sub, v)
+        if stages:
+            enc["stages"] = [stages[i] for i in sorted(stages)]
+    elif has_semantic:
+        missing = [k for k in ("stem_w", "post_w") if k not in enc]
+        if missing:
+            raise ValueError(
+                "full-encoder conversion needs the acoustic branch: no "
+                "mappable acoustic conv weights found (our `enc.*` layout). "
+                "A real NeuCodec acoustic stack with an unrecognized layout "
+                "must be added to map_encoder_state_dict — refusing to emit "
+                "a silently semantic-only encoder. Unmapped acoustic keys: "
+                f"{sorted(k for k in sd if k.split('.')[0] in ('CodecEnc', 'encoder'))[:12]}"
+            )
+    return cfg_over, enc
+
+
 def convert_codec(
     src: str | Path,
     *,
     heads: int = 16,
     rope: bool = True,
     hop_out: Optional[int] = None,
+    semantic_output_layer: int = 16,
 ) -> Tuple[CodecConfig, Dict[str, Any]]:
     """Ingest a real codec artifact (torch/safetensors state dict or ONNX
-    decoder) -> (CodecConfig, decoder-only params). Raises with explicit key
-    lists on any layout drift."""
+    decoder) -> (CodecConfig, params). State dicts carrying encoder weights
+    (semantic tower / acoustic branch) convert to a FULL codec; pure decoder
+    artifacts stay decoder-only. Raises with explicit key lists on any
+    layout drift."""
     src = Path(src)
     if src.suffix == ".onnx":
         model = read_onnx(src)
@@ -555,22 +657,38 @@ def convert_codec(
     else:
         sd = load_torch_state_dict(src)
     rec = map_decoder_state_dict(sd, heads=heads, rope=rope, hop_out=hop_out)
-    cfg = CodecConfig(**{**rec.cfg_kwargs})
-    params = {"enc": None, "dec": rec.params}
-    return cfg, params
+    enc_res = map_encoder_state_dict(
+        sd, semantic_output_layer=semantic_output_layer
+    )
+    if enc_res is None:
+        cfg = CodecConfig(**{**rec.cfg_kwargs})
+        return cfg, {"enc": None, "dec": rec.params}
+    cfg_over, enc = enc_res
+    cfg = CodecConfig(**{**rec.cfg_kwargs, **cfg_over})
+    import jax.numpy as jnp
+
+    enc = {
+        k: (jnp.asarray(v, jnp.float32) if isinstance(v, np.ndarray) else v)
+        for k, v in enc.items()
+    }
+    return cfg, {"enc": enc, "dec": rec.params}
 
 
 def save_converted(
     out_dir: str | Path, cfg: CodecConfig, params: Dict[str, Any]
 ) -> None:
-    """Write codec.npz + codec_config.json (decoder-only codec artifact)."""
+    """Write codec.npz + codec_config.json (full codec when encoder weights
+    are present, decoder-only otherwise)."""
     import dataclasses as dc
 
     from neutts_tpu.models import checkpoint as ckpt
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    ckpt.save_params(out / "codec.npz", {"dec": params["dec"]})
+    tree = {"dec": params["dec"]}
+    if params.get("enc") is not None:
+        tree["enc"] = params["enc"]
+    ckpt.save_params(out / "codec.npz", tree)
     (out / "codec_config.json").write_text(
         json.dumps(dc.asdict(cfg), indent=2)
     )

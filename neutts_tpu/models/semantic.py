@@ -32,7 +32,6 @@ clip (encode side), so throughput needs are modest.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Tuple
 
 import jax
@@ -40,34 +39,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from neutts_tpu.config import SemanticConfig  # noqa: F401 (public re-export)
+
 Params = Dict[str, Any]
-
-
-@dataclasses.dataclass(frozen=True)
-class SemanticConfig:
-    """w2v-BERT 2.0 geometry (defaults = the released facebook/w2v-bert-2.0)."""
-
-    input_dim: int = 160  # 80 log-mel bins x 2-frame stacking
-    hidden: int = 1024
-    n_layers: int = 24
-    n_heads: int = 16
-    intermediate: int = 4096
-    conv_kernel: int = 31
-    left_max: int = 64
-    right_max: int = 8
-    eps: float = 1e-5
-    # which layer's OUTPUT feeds the codec (XCodec2 taps hidden_states[16];
-    # index counts applied conformer layers, so 16 = after the 16th layer)
-    output_layer: int = 16
-
-    @property
-    def head_dim(self) -> int:
-        assert self.hidden % self.n_heads == 0
-        return self.hidden // self.n_heads
-
-    @property
-    def n_positions(self) -> int:
-        return self.left_max + self.right_max + 1
 
 
 def _ln(x, s, b, eps):

@@ -39,7 +39,11 @@ BLOCK_T = 256  # cache-time tile per DMA (dynamic trip count over live prefix)
 # 460-768) block 256 is 10-14% faster (4.7-4.9 vs 5.5 ms/step); block 512
 # wins only at ctx >= ~1200 (7.6 vs 8.2 at 1536) where per-chunk overhead
 # amortizes. Callers decoding very long audio can pass block_t=512.
-BLOCK_T4 = 1024  # int4 default: tokens per DMA block (2 tokens/byte)
+BLOCK_T4 = 1024  # int4 default: tokens per DMA block (2 tokens/byte — same
+# bytes per DMA as int8 at BLOCK_T=512). Oversizing (2048 tried 2026-08)
+# LOSES ~25%: the kernel reads ceil(len/block) whole blocks, so blocks past
+# ~the live prefix length over-read the cache and the extra hi-extraction
+# VPU work on dead bytes outweighs the per-block overhead saved.
 
 
 def _unpack4_bf16(b, dtype):
@@ -64,11 +68,15 @@ def _hi4_bf16(b, dtype):
     S1 - 16*S2 — a combine on the SMALL [rows, block] score/prob matrices
     instead of an extra [block, K*D]-sized elementwise pass. This cuts the
     per-byte VPU unpack chain from 8 ops (cast, +, *, floor, *, -, 2 casts)
-    to 5 (cast, +, *, floor, cast) plus the raw-byte cast the dot needs
+    to 5 (cast, *, +, floor, cast) plus the raw-byte cast the dot needs
     anyway — the int4 decode path is VPU-bound on exactly this chain (r2:
-    int4 measured ~14% SLOWER than int8 despite half the DMA bytes)."""
+    int4 measured ~14% SLOWER than int8 despite half the DMA bytes).
+
+    Note: jnp.round(b * 0.0625) is mathematically identical here (|lo| <= 7
+    keeps the fraction strictly under 0.5) but measured 25% SLOWER per step
+    — Mosaic lowers round-half-even to a multi-op sequence; keep floor."""
     xf = b.astype(jnp.float32)
-    return jnp.floor((xf + 8.0) * 0.0625).astype(dtype)
+    return jnp.floor(xf * 0.0625 + 0.5).astype(dtype)
 # Tuning notes (v5e, B=512, Air geometry, int8 cache, vectorized softmax):
 # ms/step for 24 layers — ctx 512: 3.5, ctx 1024: 5.3, ctx 2048: 9.9 at
 # block_t=512/row_block=16 — all within ~15% of the measured DMA floor
@@ -371,7 +379,16 @@ def decode_attention_stacked(
     T = all_k.shape[2] * (2 if int4 else 1)
     assert all_k.shape[3] == K * D, (all_k.shape, K, D)
     if int4 and block_t == BLOCK_T:
-        block_t = BLOCK_T4  # same bytes per DMA as int8 at BLOCK_T
+        # largest divisor of T that fits the BLOCK_T4 budget: big int4
+        # blocks amortize the per-block hi-extraction overhead (the kernel's
+        # VPU bound); non-power-of-two cache lengths (serving's 2304) fall
+        # back to e.g. 768
+        for cand in (2048, 1536, 1152, 1024, 768, 512, 384, 256, 128):
+            if cand <= BLOCK_T4 and cand <= T and T % cand == 0:
+                block_t = cand
+                break
+        else:
+            block_t = BLOCK_T4
     block_t = min(block_t, T)
     assert T % block_t == 0, (T, block_t)
     assert not int4 or block_t % 2 == 0, block_t

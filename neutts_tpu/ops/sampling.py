@@ -97,6 +97,56 @@ def apply_sampling_config(
     return mask_eos(logits, eos_id, step, cfg.min_new_tokens)
 
 
+def sample_step_speech(
+    logits: jax.Array,  # [B, W] — SPEECH-HEAD logits (backbone._logits_speech)
+    key: jax.Array,
+    cfg: SamplingConfig,
+    eos_id: int,
+    suppress_eos,  # bool scalar or [B]
+    width: int,  # real columns (EOS + codebook); ids >= width are lane pad
+) -> jax.Array:
+    """Decode sampling over the pre-sliced speech head: column 0 is EOS,
+    column 1 + c is speech code c (backbone.add_speech_head). Returns FULL
+    vocab ids (offset by eos_id). Equivalent to constrained sampling
+    (speech_range) but with the top-k over the ~65.5k-entry sub-vocab
+    instead of the 217.6k row — the decode hot loop's head matmul, logits
+    traffic, and top-k all shrink 3.3x."""
+    B, W = logits.shape
+    sup = jnp.broadcast_to(jnp.asarray(suppress_eos), (B,))
+    if cfg.greedy:
+        lf = logits[:, :width].astype(jnp.float32)
+        col = jnp.where(sup, -jnp.inf, lf[:, 0])
+        return (jnp.argmax(lf.at[:, 0].set(col), axis=-1) + eos_id).astype(
+            jnp.int32
+        )
+    if cfg.exact_topk:
+        vals, idx = lax.top_k(logits, cfg.top_k)
+    else:
+        vals, idx = lax.approx_max_k(logits, cfg.top_k)
+    vals = vals.astype(jnp.float32)
+    bad = (idx >= width) | ((idx == 0) & sup[:, None])
+    vals = jnp.where(bad, -jnp.inf, vals)
+    vals = vals / jnp.maximum(cfg.temperature, 1e-6)
+    g = jax.random.gumbel(key, vals.shape, vals.dtype)
+    choice = jnp.argmax(vals + g, axis=-1)
+    picked = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    # all candidates masked (possible only if every top-k hit lane pad while
+    # EOS suppressed — effectively unreachable): emit EOS, like sample_step
+    picked = jnp.where(jnp.all(bad, axis=-1), 0, picked)
+    return (picked + eos_id).astype(jnp.int32)
+
+
+def use_speech_head(cfg_backbone, sampling: SamplingConfig, params) -> bool:
+    """The speech-head fast path applies when sampling is constrained to the
+    full speech range and the pre-sliced head is attached."""
+    lay = cfg_backbone.layout
+    return (
+        sampling.speech_range == (lay.speech_base, lay.vocab_size)
+        and isinstance(params, dict)
+        and "lm_head_speech" in params
+    )
+
+
 def sample_step(
     logits: jax.Array,  # [B, V] f32 (padded vocab ok — see vocab_size)
     key: jax.Array,

@@ -310,5 +310,18 @@ class NeuTTS:
     def encode_reference(self, ref_audio_path: str | Path) -> np.ndarray:
         """Audio file -> int32 codec codes [T_codes] (cloning prompt)."""
         wav = audio_io.load_for_encoding(ref_audio_path, self.codec_cfg.sample_rate_in)
-        codes = cd.encode(self.codec_cfg, self.codec_params, jnp.asarray(wav)[None, :])
+        sem_feats = None
+        if self.codec_cfg.semantic is not None:
+            # host front-end for the w2v-BERT semantic branch: Kaldi log-mel
+            # over the 160-sample-padded waveform (the pad aligns the 50 Hz
+            # fbank grid with the acoustic hop — audio/mel.py)
+            from neutts_tpu.audio import mel
+
+            sem_feats = jnp.asarray(
+                mel.semantic_features(np.pad(np.asarray(wav), (160, 160)))
+            )[None]
+        codes = cd.encode(
+            self.codec_cfg, self.codec_params, jnp.asarray(wav)[None, :],
+            sem_feats=sem_feats,
+        )
         return np.asarray(codes[0], np.int32)

@@ -222,13 +222,27 @@ def prefill_init(
     B, Lp = tokens.shape
     pad = (Lp - prompt_lens).astype(jnp.int32)
     cache = bb.KVCache.create(cfg, B, max_len=cfg.max_context)
-    logits, cache = bb.prefill(cfg, params, tokens, prompt_lens, cache)
-    logits = smp.mask_eos(logits, eos_id, jnp.int32(0), sampling.min_new_tokens)
-    k0, key = jax.random.split(key)
-    first = smp.sample_tokens(
-        logits, k0, temperature=sampling.temperature, top_k=sampling.top_k,
-        greedy=sampling.greedy,
+    speech = smp.use_speech_head(cfg, sampling, params)
+    logits, cache = bb.prefill(
+        cfg, params, tokens, prompt_lens, cache, speech_head=speech
     )
+    k0, key = jax.random.split(key)
+    if speech:
+        first = smp.sample_step_speech(
+            logits, k0, sampling, eos_id,
+            jnp.int32(0) < sampling.min_new_tokens,
+            width=bb.speech_head_width(cfg),
+        )
+    else:
+        # sample_step handles EOS suppression AND the optional speech_range
+        # constraint (the old mask_eos + sample_tokens pair silently ignored
+        # speech_range for the FIRST token — caught by the speech-head
+        # parity test)
+        first = smp.sample_step(
+            logits, k0, sampling, eos_id,
+            jnp.int32(0) < sampling.min_new_tokens,
+            vocab_size=cfg.vocab_size,
+        )
     state = DecodeState(
         cache=cache,
         token=first,
@@ -264,6 +278,7 @@ def decode_segment(
     B = state.token.shape[0]
 
     T_phys = state.cache.max_len
+    speech = smp.use_speech_head(cfg, sampling, params)
 
     def body(i, carry):
         s, out = carry
@@ -275,13 +290,21 @@ def decode_segment(
             s.prompt_end + s.step < T_phys
         )
         logits, cache = bb.decode_step(
-            cfg, params, s.token, s.cache, cur_index, s.pad, trim_logits=False
+            cfg, params, s.token, s.cache, cur_index, s.pad,
+            trim_logits=False, speech_head=speech,
         )
         kstep, key = jax.random.split(s.key)
-        nxt = smp.sample_step(
-            logits, kstep, sampling, eos_id, s.step < sampling.min_new_tokens,
-            vocab_size=cfg.vocab_size,
-        )
+        if speech:
+            nxt = smp.sample_step_speech(
+                logits, kstep, sampling, eos_id,
+                s.step < sampling.min_new_tokens,
+                width=bb.speech_head_width(cfg),
+            )
+        else:
+            nxt = smp.sample_step(
+                logits, kstep, sampling, eos_id,
+                s.step < sampling.min_new_tokens, vocab_size=cfg.vocab_size,
+            )
         nxt = jnp.where(s.done | ~in_ctx, eos_id, nxt)
         out = lax.dynamic_update_slice(out, nxt[:, None], (0, i))
         lengths = s.lengths + jnp.where(s.done, 0, 1)

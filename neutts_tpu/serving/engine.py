@@ -56,10 +56,18 @@ class Engine:
         seed: int = 0,
     ):
         self.cfg = cfg
-        self.params = params
         self.eos_id = eos_id
         self.n_slots = n_slots
         self.sampling = sampling or SamplingConfig()
+        # speech-constrained sampling gets the pre-sliced speech head: the
+        # decode hot loop's LM-head matmul / logits traffic / top-k all
+        # shrink 3.3x (backbone.add_speech_head)
+        lay = cfg.layout
+        if self.sampling.speech_range == (lay.speech_base, lay.vocab_size):
+            from neutts_tpu.models import backbone as bb
+
+            params = bb.add_speech_head(cfg, params)
+        self.params = params
         # Staged-decode alignment invariant: admission buckets are 64-aligned
         # and get clamped to max_context (see _admit), so max_context itself
         # must stay aligned or the reconcile DMA bases would misalign and
@@ -228,11 +236,13 @@ class Engine:
     # --- internals ------------------------------------------------------------
 
     # admission group sizes: largest-fit-first bounds both the number of
-    # jitted prefill variants (4 per prompt bucket) and the padding waste on
+    # jitted prefill variants (5 per prompt bucket) and the padding waste on
     # steady-state drip admissions (1-2 freed slots per tick). Each grouped
     # prefill is one host->device dispatch (~15-30 ms over a tunneled TPU),
-    # so cold starts / bursts want the 64-wide group.
-    ADMIT_GROUPS = (64, 16, 4, 1)
+    # so cold starts / synchronized-wave bursts (hundreds of slots freed at
+    # once) want the widest group — 256 keeps the prefill matmuls MXU-deep
+    # and quarters the dispatch count vs 64.
+    ADMIT_GROUPS = (256, 64, 16, 4, 1)
 
     def _admit(self):
         """Prefill queued requests into free slots WITHOUT host syncs; the

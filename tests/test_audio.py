@@ -168,3 +168,25 @@ def test_streaming_overlap_add_fixed_stride_matches_batch_still():
     ola = StreamingOverlapAdd(stride)
     got = np.concatenate([ola.push(f) for f in frames] + [ola.flush()])
     np.testing.assert_allclose(got, batch, rtol=1e-5, atol=1e-6)
+
+
+def test_mel_frontend_matches_seamless_extractor():
+    """First-party Kaldi-fbank front-end (audio/mel.py) must match the
+    transformers SeamlessM4TFeatureExtractor recipe the released w2v-BERT
+    checkpoints consume (r2 VERDICT missing #2 — the semantic branch's
+    input features)."""
+    import pytest
+
+    transformers = pytest.importorskip("transformers")
+    from transformers import SeamlessM4TFeatureExtractor
+
+    from neutts_tpu.audio import mel
+
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    fe = SeamlessM4TFeatureExtractor()
+    want = fe(wav, sampling_rate=16000, return_tensors="np",
+              padding=False, pad_to_multiple_of=None)["input_features"][0]
+    got = mel.semantic_features(wav)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-4, rtol=1e-4)

@@ -269,12 +269,13 @@ def test_unmapped_decode_key_raises():
     sd["generator.backbone.mystery_gate.weight"] = np.zeros((3, 3), np.float32)
     with pytest.raises(ValueError, match="mystery_gate"):
         cc.map_decoder_state_dict(sd, heads=H)
-    # encoder/semantic keys outside the decode path are expected + ignored
+    # encoder/semantic keys outside the decode path are skipped up front
+    # (map_encoder_state_dict owns them) and must not disturb the mapping
     sd.pop("generator.backbone.mystery_gate.weight")
     sd["semantic_model.layers.0.w.weight"] = np.zeros((3, 3), np.float32)
     sd["fc_prior.weight"] = np.zeros((3, 3), np.float32)
     rec = cc.map_decoder_state_dict(sd, heads=H)
-    assert any("semantic" in k for k in rec.unmapped)
+    assert not any("semantic" in k for k in rec.unmapped)
 
 
 def test_onnx_roundtrip_reader():
@@ -380,3 +381,86 @@ def test_convert_codec_end_to_end(tmp_path):
     re = ckpt.load_params(tmp_path / "out" / "codec.npz")
     wav2 = cd.decode(cfg, {"enc": None, "dec": re["dec"]}, codes)
     np.testing.assert_array_equal(np.asarray(wav), np.asarray(wav2))
+
+
+def test_full_state_dict_converts_full_encoder(tmp_path):
+    """A state dict carrying a w2v-BERT semantic tower (semantic_model.*),
+    semantic projection, fc_prior, and acoustic weights must convert to a
+    FULL codec (enc is not None) whose encode_features matches the torch
+    composition oracle — r2 VERDICT missing #2 / next-round #4 ("converter
+    no longer emits decoder-only for full state dicts")."""
+    from transformers import Wav2Vec2BertConfig, Wav2Vec2BertModel
+
+    from neutts_tpu.audio import mel  # noqa: F401 (front-end presence)
+    from neutts_tpu.models import codec as cd
+
+    # tiny semantic tower with the RELEASED left/right split (64/8) so the
+    # converter's default reconstruction matches
+    scfg_hf = Wav2Vec2BertConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, feature_projection_input_dim=12,
+        conv_depthwise_kernel_size=7, left_max_position_embeddings=64,
+        right_max_position_embeddings=8, hidden_dropout=0.0,
+        attention_dropout=0.0, activation_dropout=0.0, feat_proj_dropout=0.0,
+        conformer_conv_dropout=0.0, apply_spec_augment=False,
+    )
+    torch.manual_seed(1)
+    tower = Wav2Vec2BertModel(scfg_hf).eval()
+    sem_proj = nn.Linear(32, 24)
+    # acoustic branch: our canonical layout at the DEFAULT CodecConfig
+    # encoder geometry
+    acfg = config.CodecConfig()
+    ap = cd.init_params(acfg, jax.random.PRNGKey(2))["enc"]
+    fc_prior = nn.Linear(acfg.enc_hidden + 24, VQ)
+
+    sd = {f"semantic_model.{k}": v for k, v in tower.state_dict().items()}
+    sd.update({f"sem_proj.{k}": v for k, v in sem_proj.state_dict().items()})
+    sd.update({f"fc_prior.{k}": v for k, v in fc_prior.state_dict().items()})
+    tm = TorchCodecModel(rope=True, convnext=False)
+    sd.update(tm.state_dict())
+    sd["enc.stem_w"] = torch.from_numpy(np.asarray(ap["stem_w"]))
+    sd["enc.stem_b"] = torch.from_numpy(np.asarray(ap["stem_b"]))
+    for i, st in enumerate(ap["stages"]):
+        for k, v in st.items():
+            sd[f"enc.stages.{i}.{k}"] = torch.from_numpy(np.asarray(v))
+    for k in ("post_w", "post_b", "project_in_w", "project_in_b"):
+        sd[f"enc.{k}"] = torch.from_numpy(np.asarray(ap[k]))
+    path = tmp_path / "full_codec.pt"
+    torch.save(sd, path)
+
+    cfg2, params2 = cc.convert_codec(path, heads=H, semantic_output_layer=2)
+    assert params2["enc"] is not None, "full state dict must not drop to decoder-only"
+    assert cfg2.semantic is not None and cfg2.semantic.n_layers == 2
+    assert cfg2.sem_proj_dim == 24
+
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal(3200).astype(np.float32) * 0.1
+    T50 = 3200 // 320
+    sem_feats = rng.standard_normal((1, T50, 12)).astype(np.float32)
+
+    got = np.asarray(cd.encode_features(
+        cfg2, params2, jnp.asarray(wav)[None], sem_feats=jnp.asarray(sem_feats)
+    ))
+
+    # torch composition oracle: HF tower -> sem_proj, concat with the (JAX)
+    # acoustic branch, fc_prior
+    ac = np.asarray(cd.acoustic_features(
+        cfg2, {"enc": {k: jnp.asarray(np.asarray(v)) if not isinstance(v, list)
+                       else [ {kk: jnp.asarray(np.asarray(vv)) for kk, vv in s.items()} for s in v ]
+               for k, v in ap.items()}}, jnp.asarray(wav)[None]))
+    with torch.no_grad():
+        sem = tower(input_features=torch.from_numpy(sem_feats),
+                    output_hidden_states=True).hidden_states[2]
+        sem = sem_proj(sem)
+        n = min(ac.shape[1], sem.shape[1])
+        feats = torch.cat([torch.from_numpy(ac[:, :n]), sem[:, :n]], dim=-1)
+        want = fc_prior(feats).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_decoder_only_state_dict_stays_decoder_only(tmp_path):
+    tm = TorchCodecModel(rope=True, convnext=False)
+    path = tmp_path / "dec_only.pt"
+    torch.save(tm.state_dict(), path)
+    cfg2, params2 = cc.convert_codec(path, heads=H)
+    assert params2["enc"] is None

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--segment", type=int, default=32)
     ap.add_argument("--kv-dtype", default="int8", choices=["bfloat16", "int8", "int4"])
     ap.add_argument("--weights", default="int8", choices=["int8", "bfloat16"])
+    ap.add_argument("--sampling", default="speech", choices=["speech", "full"],
+                    help="speech: constrained to speech tokens + EOS with the "
+                    "pre-sliced speech head (TTS deployment mode). full: "
+                    "unconstrained 217k-vocab head.")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--json-out", default=None,
                     help="also write the JSON result line to this file "
@@ -61,6 +65,8 @@ def main():
 
     # random model never emits EOS naturally at min_new large; bound by max_new
     sampling = config.SamplingConfig(min_new_tokens=args.gen + 1)
+    if args.sampling == "speech":
+        sampling = sampling.constrained_to(layout)
     eng = Engine(cfg, params, eos_id=layout.speech_gen_end,
                  n_slots=args.slots, sampling=sampling,
                  segment_steps=args.segment, seed=0)
@@ -114,6 +120,7 @@ def main():
         "value": round(n_tok / dt, 1),
         "unit": "tok/s",
         "vs_baseline": round(n_tok / dt / 16194.0, 3),
+        "sampling": args.sampling,
         "slots": args.slots,
         "requests": args.requests,
         "gen": args.gen,
