@@ -39,11 +39,14 @@ BLOCK_T = 256  # cache-time tile per DMA (dynamic trip count over live prefix)
 # 460-768) block 256 is 10-14% faster (4.7-4.9 vs 5.5 ms/step); block 512
 # wins only at ctx >= ~1200 (7.6 vs 8.2 at 1536) where per-chunk overhead
 # amortizes. Callers decoding very long audio can pass block_t=512.
-BLOCK_T4 = 1024  # int4 default: tokens per DMA block (2 tokens/byte — same
-# bytes per DMA as int8 at BLOCK_T=512). Oversizing (2048 tried 2026-08)
-# LOSES ~25%: the kernel reads ceil(len/block) whole blocks, so blocks past
-# ~the live prefix length over-read the cache and the extra hi-extraction
-# VPU work on dead bytes outweighs the per-block overhead saved.
+BLOCK_T4 = 512  # int4 default: tokens per DMA block (2 tokens/byte).
+# Tuning (v5e, B=256, ctx 1152, 24 layers): 512 -> 4.36 ms vs int8's 4.47
+# (the kernel reads ceil(len/block) whole blocks, so oversized blocks
+# over-read the live prefix AND pay hi-extraction VPU work on dead bytes:
+# 1024 was ~12% slower than int8, 2048 ~25%). 256 does not compile — its
+# bth=128 scale-row slices hit a Mosaic 128-lane provability limit — so
+# int4 cache lengths must be multiples of 512 (decode.py/batching.py align
+# them; the auto-select below requires bth % 128 == 0).
 
 
 def _unpack4_bf16(b, dtype):
@@ -379,16 +382,14 @@ def decode_attention_stacked(
     T = all_k.shape[2] * (2 if int4 else 1)
     assert all_k.shape[3] == K * D, (all_k.shape, K, D)
     if int4 and block_t == BLOCK_T:
-        # largest divisor of T that fits the BLOCK_T4 budget: big int4
-        # blocks amortize the per-block hi-extraction overhead (the kernel's
-        # VPU bound); non-power-of-two cache lengths (serving's 2304) fall
-        # back to e.g. 768
-        for cand in (2048, 1536, 1152, 1024, 768, 512, 384, 256, 128):
-            if cand <= BLOCK_T4 and cand <= T and T % cand == 0:
+        # smallest block >= BLOCK_T4 that divides T with bth % 128 == 0
+        # (Mosaic scale-slice alignment); tiny caches (tests) use T itself
+        for cand in (512, 1024, 1536, 2048):
+            if cand <= T and T % cand == 0:
                 block_t = cand
                 break
         else:
-            block_t = BLOCK_T4
+            block_t = T
     block_t = min(block_t, T)
     assert T % block_t == 0, (T, block_t)
     assert not int4 or block_t % 2 == 0, block_t

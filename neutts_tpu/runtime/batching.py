@@ -63,8 +63,10 @@ CACHE_SLACK = round_up(_MAX_BUCKET_GAP - 1 + SEG_PAD, 128)  # 256
 
 def slot_cache_len(cfg: BackboneConfig) -> int:
     """Physical per-slot cache length for the serving path (logical context
-    plus reconcile slack, kept a multiple of the attention DMA block)."""
-    return round_up(cfg.max_context + CACHE_SLACK, BLOCK_T)
+    plus reconcile slack, kept a multiple of the attention DMA block —
+    512 for int4, whose kernel blocks need bth % 128 == 0)."""
+    align = 512 if cfg.kv_dtype == "int4" else BLOCK_T
+    return round_up(cfg.max_context + CACHE_SLACK, align)
 
 
 class SlotState(NamedTuple):

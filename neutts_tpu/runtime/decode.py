@@ -68,7 +68,9 @@ def _generate_impl(
     # must not lose budget to its pad. The physical cache is sized for the
     # worst case (write indices go up to Lp + cap - 1; pad eats slots).
     cap = max(min(max_new, cfg.max_context - 1), 1)
-    cache_len = _round_up(Lp + cap, 128)
+    # int4 kernel blocks need cache lengths that are multiples of 512
+    # (ops/attention.py BLOCK_T4 alignment)
+    cache_len = _round_up(Lp + cap, 512 if cfg.kv_dtype == "int4" else 128)
     cache = bb.KVCache.create(cfg, B, max_len=cache_len)
 
     logits, cache = bb.prefill(cfg, params, tokens, prompt_lens, cache)

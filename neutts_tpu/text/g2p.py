@@ -404,16 +404,55 @@ class RuleG2P:
         return " ".join(" ".join(parts).split())
 
 
+def _configure_espeak_library() -> None:
+    """Platform conveniences for locating the espeak-ng shared library
+    (reference neutts/neutts.py:16-43 does the macOS half at import time;
+    the Windows half mirrors the reference README.md:108-113 env recipe).
+
+    * macOS: homebrew installs the dylib outside the default search path;
+      glob the cellar and point phonemizer's EspeakWrapper at it.
+    * Windows: honor PHONEMIZER_ESPEAK_LIBRARY/PHONEMIZER_ESPEAK_PATH if
+      set; otherwise try the standard install location.
+    No-op on Linux (distro packages land on the loader path).
+    """
+    import glob
+    import os
+    import sys
+
+    try:
+        from phonemizer.backend.espeak.wrapper import EspeakWrapper
+    except Exception:
+        return
+    if os.environ.get("PHONEMIZER_ESPEAK_LIBRARY"):
+        return  # explicit user setting wins
+    if sys.platform == "darwin":
+        for pattern in (
+            "/opt/homebrew/Cellar/espeak-ng/*/lib/libespeak-ng*.dylib",
+            "/usr/local/Cellar/espeak-ng/*/lib/libespeak-ng*.dylib",
+            "/opt/homebrew/lib/libespeak-ng*.dylib",
+        ):
+            hits = sorted(glob.glob(pattern))
+            if hits:
+                EspeakWrapper.set_library(hits[-1])
+                return
+    elif sys.platform == "win32":
+        default = r"C:\Program Files\eSpeak NG\libespeak-ng.dll"
+        if os.path.exists(default):
+            EspeakWrapper.set_library(default)
+
+
 class EspeakG2P:
     """Exact reference G2P: phonemizer -> espeak-ng (when installed).
 
     Mirrors EspeakBackend("en-us", preserve_punctuation=True, with_stress=True)
-    and the single-space re-join (reference neutts/neutts.py:102-104, 297-301).
+    and the single-space re-join (reference neutts/neutts.py:102-104, 297-301),
+    including the platform library autoconfig (reference :16-43).
     """
 
     name = "espeak"
 
     def __init__(self, language: str = "en-us"):
+        _configure_espeak_library()
         from phonemizer.backend import EspeakBackend  # lazy optional import
 
         self._backend = EspeakBackend(
