@@ -94,6 +94,10 @@ class Engine:
         self._slot_req: List[Optional[Request]] = [None] * n_slots
         self._finished: List[Request] = []
         self._ids = itertools.count()
+        self._dispatch_id = itertools.count(1)
+        # (dispatch token, {slot: active}) of the dispatched-but-uncollected
+        # segment, for predictive retirement (see step_dispatch)
+        self._inflight: Optional[tuple] = None
         # Throughput-tax accounting (r2 VERDICT weak #7): the pipelined run
         # hides the host tick by dispatching segment N+1 before collecting N,
         # at the cost of (a) rows that finished in segment N decoding through
@@ -147,6 +151,32 @@ class Engine:
         an opaque token for `step_collect`, or None if the engine is idle.
         The split lets a multi-chip driver dispatch every replica's segment
         before blocking on any readback, so device segments overlap."""
+        # PREDICTIVE RETIREMENT: a request whose token budget is exhausted
+        # by the IN-FLIGHT (dispatched, not yet collected) segment is
+        # GUARANTEED to complete there — an early EOS can only shorten it.
+        # Freeing its slot now lets THIS dispatch admit a queued request one
+        # segment earlier; device program order makes it race-free (the
+        # in-flight segment's reconcile executes before this tick's
+        # admission prefill overwrites the slot). Without this, every
+        # max_new-bounded request rode one full discarded segment
+        # (post_done ~11-21% of dispatched slot-steps at gen 250 / seg 32).
+        if self._inflight is not None:
+            _, inflight_slots = self._inflight
+            all_complete = True
+            for slot, req in enumerate(self._slot_req):
+                if req is None or req.done:
+                    continue
+                gain = self.segment_steps if slot in inflight_slots else 0
+                if len(req.tokens) + gain >= req.max_new:
+                    if self._queue:
+                        self._slot_req[slot] = None  # collect() finishes it
+                else:
+                    all_complete = False
+            if all_complete and not self._queue:
+                # every occupied slot is guaranteed to finish in the
+                # in-flight segment and there is nothing to admit: a new
+                # dispatch would be a pure discard segment — skip it
+                return None
         newly = self._admit()
         if not any(r is not None for r in self._slot_req):
             return None
@@ -164,17 +194,24 @@ class Engine:
             self.state,
         )
         pending_first, self._pending_first = self._pending_first, None
+        token = next(self._dispatch_id)
+        self._inflight = (
+            token,
+            {i for i, r in enumerate(self._slot_req) if r is not None},
+        )
         # materialize a copy: the next dispatch donates self.state (pipelined
         # run), which would delete this buffer before step_collect reads it.
         # Snapshot the slot->request mapping too: a pipelined collect runs
         # AFTER the next dispatch's admissions, and this segment's rows belong
         # to the requests occupying the slots when it was dispatched.
-        return (newly, outs, self.state.active | False, pending_first,
+        return (token, newly, outs, self.state.active | False, pending_first,
                 list(self._slot_req))
 
     def step_collect(self, pending) -> None:
         """Readback + bookkeeping for a `step_dispatch` result."""
-        newly, outs, active_dev, pending_first, slot_req = pending
+        token, newly, outs, active_dev, pending_first, slot_req = pending
+        if self._inflight is not None and self._inflight[0] == token:
+            self._inflight = None  # this dispatch is no longer in flight
         outs, active, first_tokens = jax.device_get(
             (outs, active_dev, pending_first)
         )
@@ -203,7 +240,12 @@ class Engine:
             self.stats["post_eos_token_slots"] += len(row) - take
             if eos_at.size or len(req.tokens) >= req.max_new or not active[slot]:
                 req.done = True
-                retire.append(slot)
+                if self._slot_req[slot] is req:
+                    retire.append(slot)
+                else:
+                    # slot was predictively freed at a later dispatch (and
+                    # possibly re-admitted); just deliver the finished request
+                    self._finished.append(req)
         self._retire_batch(retire)
 
     def run(self, pipelined: bool = True) -> Dict[int, List[int]]:

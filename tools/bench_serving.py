@@ -36,6 +36,9 @@ def main():
                     "pre-sliced speech head (TTS deployment mode). full: "
                     "unconstrained 217k-vocab head.")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="collect each segment before dispatching the next "
+                    "(pays the host tick, avoids the post-done discard)")
     ap.add_argument("--json-out", default=None,
                     help="also write the JSON result line to this file "
                     "(driver-visible artifact, e.g. SERVING_r03.json)")
@@ -102,7 +105,7 @@ def main():
     for p in prompts:
         eng.submit(p, max_new=args.gen)
     t0 = time.perf_counter()
-    results = eng.run()
+    results = eng.run(pipelined=not args.no_pipeline)
     dt = time.perf_counter() - t0
 
     n_tok = sum(len(t) for t in results.values())
@@ -125,6 +128,7 @@ def main():
         "requests": args.requests,
         "gen": args.gen,
         "segment": args.segment,
+        "pipelined": not args.no_pipeline,
         "utterances_per_s": round(n_utt / dt, 2),
         "slot_utilization": round(s["useful_tokens"] / disp, 4),
         "post_done_frac": round(s["post_done_token_slots"] / disp, 4),
