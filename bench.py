@@ -56,19 +56,9 @@ def main() -> None:
 
     import jax
 
-    try:  # persistent compile cache: repeat runs skip the multi-minute XLA
-        # compiles. REPO-LOCAL (not /tmp) so it survives to the driver's
-        # end-of-round bench run (r2 lesson: the /tmp cache was gone and the
-        # driver paid a 479 s cold compile).
-        import pathlib
+    from neutts_tpu.utils import enable_compile_cache
 
-        cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
-        cache.mkdir(exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(cache))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    enable_compile_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

@@ -117,6 +117,9 @@ def load_pipeline(path: str | Path) -> Tuple[cfglib.BackboneConfig, Any, cfglib.
     for key in ("fsq_levels", "enc_strides", "enc_channels"):
         if key in cc:
             cc[key] = tuple(cc[key])
+    if isinstance(cc.get("semantic"), dict):
+        # nested dataclass: json round-trips it as a plain dict
+        cc["semantic"] = cfglib.SemanticConfig(**cc["semantic"])
     backbone_cfg = cfglib.BackboneConfig(**bc)
     codec_cfg = cfglib.CodecConfig(**cc)
     return (

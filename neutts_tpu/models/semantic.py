@@ -113,7 +113,12 @@ def _rel_bias_table(cfg: SemanticConfig, T: int) -> jax.Array:
 def forward(cfg: SemanticConfig, params: Params, feats: jax.Array) -> jax.Array:
     """feats: [B, T, input_dim] log-mel stack -> semantic features
     [B, T, hidden] tapped after layer `cfg.output_layer`."""
-    B, T, _ = feats.shape
+    B, T, fd = feats.shape
+    if fd != cfg.input_dim:
+        raise ValueError(
+            f"semantic features have dim {fd}, tower expects "
+            f"{cfg.input_dim} (audio/mel.py produces 160 = 80 mels x 2)"
+        )
     eps = cfg.eps
     Hh, Dh = cfg.n_heads, cfg.head_dim
     x = _ln(feats, params["proj_ln_s"], params["proj_ln_b"], eps)

@@ -136,6 +136,45 @@ def sample_step_speech(
     return (picked + eos_id).astype(jnp.int32)
 
 
+def sample_from_hidden(cfg_backbone, sampling: SamplingConfig, params,
+                       x: jax.Array, key: jax.Array, eos_id: int, suppress):
+    """Head projection + sampling dispatch for the decode hot loops: picks
+    the pre-sliced speech head (sample_step_speech) when constrained
+    sampling has it attached, else the padded full-vocab head. ONE shared
+    definition so the serving/streaming sites cannot drift."""
+    from neutts_tpu.models import backbone as bb
+
+    if use_speech_head(cfg_backbone, sampling, params):
+        logits = bb._logits_speech(cfg_backbone, params, x)
+        return sample_step_speech(
+            logits, key, sampling, eos_id, suppress,
+            width=bb.speech_head_width(cfg_backbone),
+        )
+    logits = bb._logits(cfg_backbone, params, x, trim=False)
+    return sample_step(
+        logits, key, sampling, eos_id, suppress,
+        vocab_size=cfg_backbone.vocab_size,
+    )
+
+
+def sample_logits(logits: jax.Array, key: jax.Array, cfg_backbone,
+                  sampling: SamplingConfig, eos_id: int, suppress, *,
+                  speech: bool):
+    """Sampling dispatch over precomputed logits (speech-head or
+    padded-full-vocab layout per `speech`)."""
+    from neutts_tpu.models import backbone as bb
+
+    if speech:
+        return sample_step_speech(
+            logits, key, sampling, eos_id, suppress,
+            width=bb.speech_head_width(cfg_backbone),
+        )
+    return sample_step(
+        logits, key, sampling, eos_id, suppress,
+        vocab_size=cfg_backbone.vocab_size,
+    )
+
+
 def use_speech_head(cfg_backbone, sampling: SamplingConfig, params) -> bool:
     """The speech-head fast path applies when sampling is constrained to the
     full speech range and the pre-sliced head is attached."""

@@ -188,7 +188,13 @@ class NeuTTS:
         # budget by REAL length (reference max_length counts real tokens, not
         # left-pad; per-row caps inside `generate` stop each row exactly at
         # max_context): the longest-running row is the shortest prompt.
-        max_new = self.max_context - min(len(p) for p in prompts)
+        # Rounded UP to 256 so `max_new` — a STATIC jit argument — takes at
+        # most 8 values instead of one per distinct prompt length (per-row
+        # caps keep the semantics exact; the extra budget is never decoded).
+        max_new = min(
+            cfglib.round_up(self.max_context - min(len(p) for p in prompts), 256),
+            self.max_context - 1,
+        )
         result = dec.generate(
             self.backbone_cfg,
             self.sampling,

@@ -206,19 +206,10 @@ def prefill_slots(
     x = bb.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     last = x[:, -1, :]  # left padding: the last position is always real
     k0, key = jax.random.split(state.key)
-    if smp.use_speech_head(cfg, sampling, params):
-        logits = bb._logits_speech(cfg, params, last)
-        first = smp.sample_step_speech(
-            logits, k0, sampling, eos_id,
-            jnp.int32(0) < sampling.min_new_tokens,
-            width=bb.speech_head_width(cfg),
-        )
-    else:
-        logits = bb._logits(cfg, params, last, trim=False)  # [G, Vpad]
-        first = smp.sample_step(
-            logits, k0, sampling, eos_id,
-            jnp.int32(0) < sampling.min_new_tokens, vocab_size=cfg.vocab_size,
-        )  # [G]
+    first = smp.sample_from_hidden(
+        cfg, sampling, params, last, k0, eos_id,
+        jnp.int32(0) < sampling.min_new_tokens,
+    )  # [G]
     if int4:
         new_cache = bb.KVCache(new_k, new_v, new_ks, new_vs, new_kp, new_vp)
     elif quant:
@@ -322,7 +313,6 @@ def _decode_steps_staged(cfg, sampling, eos_id, n_steps, params, state):
     KD = K * cfg.head_dim
     S = n_steps
 
-    speech = smp.use_speech_head(cfg, sampling, params)
     base = state.lens  # settled length per row — constant over the segment
     pad = state.pad
     active0 = state.active
@@ -375,18 +365,9 @@ def _decode_steps_staged(cfg, sampling, eos_id, n_steps, params, state):
         suppress = n_generated < sampling.min_new_tokens
 
         kstep, key = jax.random.split(key)
-        if speech:
-            logits = bb._logits_speech(cfg, params, x[:, 0, :])
-            nxt = smp.sample_step_speech(
-                logits, kstep, sampling, eos_id, suppress,
-                width=bb.speech_head_width(cfg),
-            )
-        else:
-            logits = bb._logits(cfg, params, x[:, 0, :], trim=False)
-            nxt = smp.sample_step(
-                logits, kstep, sampling, eos_id, suppress,
-                vocab_size=cfg.vocab_size,
-            )
+        nxt = smp.sample_from_hidden(
+            cfg, sampling, params, x[:, 0, :], kstep, eos_id, suppress
+        )
         in_ctx = _in_ctx(cfg, lens_new, pad, T, n_steps)
         nxt = jnp.where(active & in_ctx, nxt, eos_id)
         new_active = active & (nxt != eos_id) & in_ctx
@@ -418,7 +399,6 @@ def _decode_steps_scatter(cfg, sampling, eos_id, n_steps, params, state):
     """Direct per-step cache-scatter decode (bf16/int4 caches, CPU oracle)."""
     from neutts_tpu.ops import attention as attn_ops
 
-    speech = smp.use_speech_head(cfg, sampling, params)
     B = state.token.shape[0]
     T = state.cache.max_len
     K, G = cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads
@@ -517,18 +497,9 @@ def _decode_steps_scatter(cfg, sampling, eos_id, n_steps, params, state):
         suppress = n_generated < sampling.min_new_tokens
 
         kstep, key = jax.random.split(state.key)
-        if speech:
-            logits = bb._logits_speech(cfg, params, x[:, 0, :])
-            nxt = smp.sample_step_speech(
-                logits, kstep, sampling, eos_id, suppress,
-                width=bb.speech_head_width(cfg),
-            )
-        else:
-            logits = bb._logits(cfg, params, x[:, 0, :], trim=False)
-            nxt = smp.sample_step(
-                logits, kstep, sampling, eos_id, suppress,
-                vocab_size=cfg.vocab_size,
-            )
+        nxt = smp.sample_from_hidden(
+            cfg, sampling, params, x[:, 0, :], kstep, eos_id, suppress
+        )
         in_ctx = _in_ctx(cfg, lens_new, state.pad, T, n_steps)
         nxt = jnp.where(state.active & in_ctx, nxt, eos_id)
         new_active = state.active & (nxt != eos_id) & in_ctx

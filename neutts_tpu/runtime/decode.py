@@ -34,6 +34,15 @@ from neutts_tpu.models import backbone as bb
 from neutts_tpu.ops import sampling as smp
 
 
+def _cache_align(cfg: BackboneConfig) -> int:
+    """Physical KV-cache lengths must divide into the Pallas decode kernel's
+    DMA blocks: BLOCK_T (256) for bf16/int8, 512 for int4 (whose smaller
+    blocks hit a Mosaic scale-slice alignment limit — ops/attention.py)."""
+    from neutts_tpu.ops.attention import BLOCK_T
+
+    return 512 if cfg.kv_dtype == "int4" else BLOCK_T
+
+
 class GenerateResult(NamedTuple):
     tokens: jax.Array  # [B, max_new] int32 — generated continuation (EOS-filled)
     lengths: jax.Array  # [B] int32 — number of valid tokens per row (incl. EOS)
@@ -68,9 +77,7 @@ def _generate_impl(
     # must not lose budget to its pad. The physical cache is sized for the
     # worst case (write indices go up to Lp + cap - 1; pad eats slots).
     cap = max(min(max_new, cfg.max_context - 1), 1)
-    # int4 kernel blocks need cache lengths that are multiples of 512
-    # (ops/attention.py BLOCK_T4 alignment)
-    cache_len = _round_up(Lp + cap, 512 if cfg.kv_dtype == "int4" else 128)
+    cache_len = _round_up(Lp + cap, _cache_align(cfg))
     cache = bb.KVCache.create(cfg, B, max_len=cache_len)
 
     logits, cache = bb.prefill(cfg, params, tokens, prompt_lens, cache)
@@ -223,28 +230,22 @@ def prefill_init(
     """Prefill + first sampled token. Returns (state, first_token [B])."""
     B, Lp = tokens.shape
     pad = (Lp - prompt_lens).astype(jnp.int32)
-    cache = bb.KVCache.create(cfg, B, max_len=cfg.max_context)
+    cache = bb.KVCache.create(
+        cfg, B, max_len=_round_up(cfg.max_context, _cache_align(cfg))
+    )
     speech = smp.use_speech_head(cfg, sampling, params)
     logits, cache = bb.prefill(
         cfg, params, tokens, prompt_lens, cache, speech_head=speech
     )
     k0, key = jax.random.split(key)
-    if speech:
-        first = smp.sample_step_speech(
-            logits, k0, sampling, eos_id,
-            jnp.int32(0) < sampling.min_new_tokens,
-            width=bb.speech_head_width(cfg),
-        )
-    else:
-        # sample_step handles EOS suppression AND the optional speech_range
-        # constraint (the old mask_eos + sample_tokens pair silently ignored
-        # speech_range for the FIRST token — caught by the speech-head
-        # parity test)
-        first = smp.sample_step(
-            logits, k0, sampling, eos_id,
-            jnp.int32(0) < sampling.min_new_tokens,
-            vocab_size=cfg.vocab_size,
-        )
+    # sample_logits handles EOS suppression AND the optional speech_range
+    # constraint (the old mask_eos + sample_tokens pair silently ignored
+    # speech_range for the FIRST token — caught by the speech-head parity
+    # test)
+    first = smp.sample_logits(
+        logits, k0, cfg, sampling, eos_id,
+        jnp.int32(0) < sampling.min_new_tokens, speech=speech,
+    )
     state = DecodeState(
         cache=cache,
         token=first,
@@ -296,17 +297,10 @@ def decode_segment(
             trim_logits=False, speech_head=speech,
         )
         kstep, key = jax.random.split(s.key)
-        if speech:
-            nxt = smp.sample_step_speech(
-                logits, kstep, sampling, eos_id,
-                s.step < sampling.min_new_tokens,
-                width=bb.speech_head_width(cfg),
-            )
-        else:
-            nxt = smp.sample_step(
-                logits, kstep, sampling, eos_id,
-                s.step < sampling.min_new_tokens, vocab_size=cfg.vocab_size,
-            )
+        nxt = smp.sample_logits(
+            logits, kstep, cfg, sampling, eos_id,
+            s.step < sampling.min_new_tokens, speech=speech,
+        )
         nxt = jnp.where(s.done | ~in_ctx, eos_id, nxt)
         out = lax.dynamic_update_slice(out, nxt[:, None], (0, i))
         lengths = s.lengths + jnp.where(s.done, 0, 1)

@@ -224,7 +224,12 @@ class Engine:
                 self.stats["useful_tokens"] += 1
             if t == self.eos_id or len(req.tokens) >= req.max_new:
                 req.done = True
-                retire.append(slot)
+                if self._slot_req[slot] is req:
+                    retire.append(slot)
+                else:
+                    # predictively freed (and possibly re-admitted) before
+                    # this collect: deliver without touching the slot
+                    self._finished.append(req)
         outs = np.asarray(outs)
         for slot, req in enumerate(slot_req):
             if req is None or req.done:

@@ -105,3 +105,23 @@ def profile_trace(log_dir: str = "/tmp/neutts_tpu_trace") -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compile_cache(min_compile_secs: float = 1.0) -> None:
+    """Point JAX's persistent compile cache at the REPO-LOCAL `.jax_cache`
+    (r2 lesson: a /tmp cache did not survive to the driver's end-of-round
+    bench and it paid a 479 s cold compile). One shared definition for
+    bench.py and every tools/ script."""
+    import pathlib
+
+    import jax
+
+    try:
+        cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+        cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+        )
+    except Exception:
+        pass

@@ -103,3 +103,38 @@ def test_transformer_decode_deterministic_and_code_sensitive(params):
     pert = codes.at[0, 20].set((int(codes[0, 20]) + 9) % 65_536)
     c = np.asarray(cd.decode(CFG, params, pert))
     assert np.abs(a - c).max() > 1e-6
+
+
+def test_semantic_codec_checkpoint_roundtrip(tmp_path):
+    """A full codec (semantic branch set) must survive save_pipeline /
+    load_pipeline with cfg.semantic rehydrated as a SemanticConfig, and
+    encode_reference must run on the reloaded pipeline (code-review catch:
+    json round-trips the nested dataclass as a plain dict)."""
+    import dataclasses
+
+    from neutts_tpu import config as cfglib
+    from neutts_tpu.models import backbone as bb
+    from neutts_tpu.models import checkpoint as ckpt
+    from neutts_tpu.pipeline import NeuTTS
+
+    sem = cfglib.SemanticConfig(
+        input_dim=160, hidden=16, n_layers=1, n_heads=2, intermediate=32,
+        conv_kernel=5, left_max=4, right_max=2, output_layer=1,
+    )
+    ccfg = cfglib.CODEC_TINY.scaled(semantic=sem, sem_proj_dim=8)
+    cparams = cd.init_params(ccfg, jax.random.PRNGKey(0))
+    bcfg = cfglib.TINY
+    bparams = bb.init_params(bcfg, jax.random.PRNGKey(1))
+    ckpt.save_pipeline(tmp_path / "pipe", bcfg, bparams, ccfg, cparams)
+    b2, bp2, c2, cp2 = ckpt.load_pipeline(tmp_path / "pipe")
+    assert isinstance(c2.semantic, cfglib.SemanticConfig)
+    assert c2.semantic == sem and c2.sem_proj_dim == 8
+    assert dataclasses.asdict(c2) == dataclasses.asdict(ccfg)
+
+    tts = NeuTTS(b2, bp2, c2, cp2)
+    from neutts_tpu.audio import io as audio_io
+
+    wav = (np.sin(np.linspace(0, 600, 16000)) * 0.1).astype(np.float32)
+    audio_io.write_wav(tmp_path / "ref.wav", wav, 16000)
+    codes = tts.encode_reference(tmp_path / "ref.wav")
+    assert codes.dtype == np.int32 and codes.shape[0] == 16000 // 320

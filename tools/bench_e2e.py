@@ -41,11 +41,7 @@ def main():
 
     import jax
 
-    jax.config.update(  # repo-local: survives to driver runs (r2 lesson)
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from neutts_tpu.utils import enable_compile_cache as _ecc; _ecc()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

@@ -26,10 +26,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update(  # repo-local: survives to driver runs (r2 lesson)
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-    )
+from neutts_tpu.utils import enable_compile_cache as _ecc; _ecc()
 
 B, CTX, T, S = 512, 1024, 2048, 32
 L = 24

@@ -21,10 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-)
+from neutts_tpu.utils import enable_compile_cache as _ecc  # noqa: E402
+
+_ecc()
 
 from neutts_tpu.ops import attention as attn
 

@@ -28,10 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-jax.config.update(  # repo-local: survives to driver runs (r2 lesson)
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-    )
+from neutts_tpu.utils import enable_compile_cache as _ecc; _ecc()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from neutts_tpu import config
