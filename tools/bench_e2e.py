@@ -61,7 +61,11 @@ def main():
     ccfg = config.CODEC
     # NOTE: no jax.device_put here — the codec param tree carries python-int
     # conv dilations that device_put would turn into traced arrays
-    cparams = cd.init_params(ccfg, jax.random.PRNGKey(1))
+    from _host_init import init_codec_params
+
+    # CPU-subprocess init: eager codec init through the remote-compile
+    # tunnel costs many minutes (see tools/_host_init.py)
+    cparams = jax.device_put(init_codec_params(ccfg, seed=1))
     wm = get_watermarker()
 
     sampling = config.SamplingConfig(min_new_tokens=args.gen + 1)

@@ -59,8 +59,16 @@ def main():
     if args.first_chunk is not None:
         streaming = dataclasses.replace(
             streaming, first_chunk_frames=args.first_chunk)
-    tts = NeuTTS.initialize_random(
-        cfg, codec_cfg, seed=0,
+    # codec init happens in a CPU subprocess: eager init of ~200 small
+    # tensors through the remote-compile tunnel costs many minutes
+    from _host_init import init_codec_params
+    from neutts_tpu.models import backbone as bb
+    from neutts_tpu.models import codec as cd  # noqa: F401
+
+    bparams = bb.init_params(cfg, jax.random.PRNGKey(0))
+    cparams = jax.device_put(init_codec_params(codec_cfg, seed=0))
+    tts = NeuTTS(
+        cfg, bparams, codec_cfg, cparams,
         quantize="int8" if args.weights == "int8" else None,
         streaming=streaming,
     )
