@@ -45,6 +45,7 @@ independent, everything static-shaped under jit.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Tuple
 
@@ -556,19 +557,27 @@ def decode(cfg: CodecConfig, params: Params, codes: jax.Array,
 
 
 def make_decode_fn(cfg: CodecConfig, params: Params):
-    """Returns a jitted decode closed over params (shape-polymorphic via
-    per-length compile; callers bucket code lengths)."""
+    """Returns a jitted decode bound to params (passed as a runtime
+    argument, NOT a closure — closed-over params bake the weight tree into
+    the HLO as constants). Shape-polymorphic via per-length compile;
+    callers bucket code lengths."""
 
-    @jax.jit
-    def _decode(codes):
-        return decode(cfg, params, codes)
+    @functools.partial(jax.jit, static_argnums=0)
+    def _decode(cfg_, params_, codes):
+        return decode(cfg_, params_, codes)
 
-    return _decode
+    def run(codes):
+        return _decode(cfg, params, codes)
+
+    return run
 
 
 def make_encode_fn(cfg: CodecConfig, params: Params):
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=0)
+    def _encode_impl(cfg_, params_, wav):
+        return encode(cfg_, params_, wav)
+
     def _encode(wav):
-        return encode(cfg, params, wav)
+        return _encode_impl(cfg, params, wav)
 
     return _encode

@@ -54,9 +54,12 @@ class ExactVocoder:
         self._max = max_cached
         self.buckets = tuple(buckets) if buckets else None
 
-        @jax.jit
-        def decode_masked(codes, n_valid):
-            return cd.decode(self.cfg, self.params, codes, n_valid=n_valid)
+        # params are a runtime ARGUMENT, never a closure: closed-over params
+        # bake the multi-GB weight tree into the HLO as constants, which
+        # bloats executables and overflows remote-compile request limits
+        @functools.partial(jax.jit, static_argnums=0)
+        def decode_masked(cfg_, params_, codes, n_valid):
+            return cd.decode(cfg_, params_, codes, n_valid=n_valid)
 
         self._decode_masked = decode_masked
 
@@ -66,9 +69,9 @@ class ExactVocoder:
             if len(self._fns) >= self._max:
                 self._fns.pop(next(iter(self._fns)))
 
-            @jax.jit
-            def decode(codes):
-                return cd.decode(self.cfg, self.params, codes)
+            @functools.partial(jax.jit, static_argnums=0)
+            def decode(cfg_, params_, codes):
+                return cd.decode(cfg_, params_, codes)
 
             fn = decode
             self._fns[n] = fn
@@ -85,11 +88,15 @@ class ExactVocoder:
         arr = np.asarray(codes, np.int32).reshape(1, -1)
         n = arr.shape[1]
         if self.buckets is None:
-            return np.asarray(self._fn(n)(jnp.asarray(arr))[0])
+            return np.asarray(
+                self._fn(n)(self.cfg, self.params, jnp.asarray(arr))[0]
+            )
         nb = self._bucket(n)
         padded = np.zeros((1, nb), np.int32)
         padded[0, :n] = arr[0]
-        wav = self._decode_masked(jnp.asarray(padded), jnp.int32(n))
+        wav = self._decode_masked(
+            self.cfg, self.params, jnp.asarray(padded), jnp.int32(n)
+        )
         return np.asarray(wav[0, : n * self.cfg.hop_out])
 
 
@@ -114,7 +121,12 @@ class ChunkedVocoder:
             + streaming.overlap_frames
         )  # 82 frames
         self.buckets = tuple(batch_buckets)
-        self._decode = jax.jit(functools.partial(cd.decode, cfg, params))
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def _dec(cfg_, params_, codes):
+            return cd.decode(cfg_, params_, codes)
+
+        self._decode = _dec
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -153,7 +165,9 @@ class ChunkedVocoder:
             windows = np.concatenate(
                 [windows, np.zeros((nb - n_chunks, self.window), np.int32)]
             )
-        wavs = np.asarray(self._decode(jnp.asarray(windows)))[:n_chunks]
+        wavs = np.asarray(
+            self._decode(self.cfg, self.params, jnp.asarray(windows))
+        )[:n_chunks]
         # emission region per window: local frames [lb, lb+emit) -> global
         # [i*chunk, i*chunk+emit), matching the reference's sample_start math
         # (neutts/neutts.py:416-421)

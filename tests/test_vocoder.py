@@ -129,9 +129,9 @@ def test_chunked_single_compile(params):
     real_jit = voc._decode
 
     calls = []
-    def spy(arr):
+    def spy(cfg_, params_, arr):
         calls.append(arr.shape)
-        return real_jit(arr)
+        return real_jit(cfg_, params_, arr)
 
     voc._decode = spy
     for n in [26, 51, 77, 103]:

@@ -75,7 +75,12 @@ def main():
 
     import functools
 
-    decode_fn = jax.jit(functools.partial(cd.decode, ccfg, cparams))
+    _dec = jax.jit(functools.partial(cd.decode, ccfg))
+
+    def decode_fn(codes):
+        # params as a runtime arg: a closure would bake 1.3 GB of weights
+        # into the HLO (overflows the remote-compile request limit)
+        return _dec(cparams, codes)
 
     rng = np.random.default_rng(0)
     prompts = []
