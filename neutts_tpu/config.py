@@ -239,6 +239,36 @@ class SemanticConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CodecEncConfig:
+    """XCodec2-lineage acoustic CodecEncoder geometry (models/codecenc.py) —
+    the REAL NeuCodec encoder family behind `encode_code` (reference
+    neutts/neutts.py:266-271): DAC/EnCodec conv stack with snake
+    activations, optional EnCodec-style stacked LSTM, WN convs. All fields
+    are RECOVERED from checkpoint key layout + weight shapes by
+    models/convert_codec.py; defaults mirror the public lineage
+    (ngf 48, strides (2,2,4,4,5) -> hop 320, dilations (1,3,9))."""
+
+    ngf: int = 48
+    up_ratios: Tuple[int, ...] = (2, 2, 4, 4, 5)
+    dilations: Tuple[int, ...] = (1, 3, 9)
+    out_channels: int = 1024
+    rnn_layers: int = 2  # 0 = no SLSTM stage
+    # snake wrapped in BigVGAN alias-free up2/snake/down2 (kaiser-sinc)
+    alias_free: bool = True
+    act_kernel: int = 12  # kaiser-sinc filter taps for the alias-free path
+    # SnakeBeta alpha_logscale (params are log alpha / log beta); plain DAC
+    # Snake1d checkpoints (alpha only, linear scale) set this False
+    snake_logscale: bool = True
+
+    @property
+    def hop(self) -> int:
+        h = 1
+        for s in self.up_ratios:
+            h *= s
+        return h
+
+
+@dataclasses.dataclass(frozen=True)
 class CodecConfig:
     """NeuCodec-equivalent: 16 kHz in -> 50 Hz FSQ codes -> 24 kHz out.
 
@@ -271,6 +301,14 @@ class CodecConfig:
     # acoustic features before the fc_prior projection
     semantic: Optional[SemanticConfig] = None
     sem_proj_dim: int = 1024
+    # semantic projection flavor: "linear" (our trainable design) | "conv"
+    # (the real XCodec2 SemanticEncoder conv stack, models/codecenc.py)
+    sem_encoder: str = "linear"
+    # acoustic branch family: "ours" (from-scratch trainable residual
+    # stages below) | "codecenc" (the real XCodec2/DAC stack, geometry in
+    # `codecenc`, recovered from real checkpoints by convert_codec.py)
+    enc_family: str = "ours"
+    codecenc: Optional[CodecEncConfig] = None
     enc_strides: Tuple[int, ...] = (2, 4, 5, 8)
     enc_channels: Tuple[int, ...] = (32, 64, 128, 256)
     enc_hidden: int = 256
@@ -293,6 +331,8 @@ class CodecConfig:
 
     @property
     def hop_in(self) -> int:
+        if self.enc_family == "codecenc" and self.codecenc is not None:
+            return self.codecenc.hop
         h = 1
         for s in self.enc_strides:
             h *= s

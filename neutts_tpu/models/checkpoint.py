@@ -120,6 +120,12 @@ def load_pipeline(path: str | Path) -> Tuple[cfglib.BackboneConfig, Any, cfglib.
     if isinstance(cc.get("semantic"), dict):
         # nested dataclass: json round-trips it as a plain dict
         cc["semantic"] = cfglib.SemanticConfig(**cc["semantic"])
+    if isinstance(cc.get("codecenc"), dict):
+        ce = dict(cc["codecenc"])
+        for key in ("up_ratios", "dilations"):
+            if key in ce:
+                ce[key] = tuple(ce[key])
+        cc["codecenc"] = cfglib.CodecEncConfig(**ce)
     backbone_cfg = cfglib.BackboneConfig(**bc)
     codec_cfg = cfglib.CodecConfig(**cc)
     return (

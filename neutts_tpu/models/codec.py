@@ -237,34 +237,48 @@ def init_params(cfg: CodecConfig, key: jax.Array) -> Params:
     keys = iter(jax.random.split(key, 1024))
     p: Params = {"enc": {}, "dec": {}}
 
-    # Encoder: conv stem + strided residual stages + projections to the FSQ
-    c0 = cfg.enc_channels[0]
-    p["enc"]["stem_w"] = _winit(next(keys), (7, 1, c0))
-    p["enc"]["stem_b"] = jnp.zeros((c0,))
-    stages = []
-    cin = c0
-    for s, cout in zip(cfg.enc_strides, cfg.enc_channels):
-        st = {
-            "res1_w1": _winit(next(keys), (3, cin, cin)),
-            "res1_b1": jnp.zeros((cin,)),
-            "res1_w2": _winit(next(keys), (1, cin, cin)),
-            "res1_b2": jnp.zeros((cin,)),
-            "down_w": _winit(next(keys), (2 * s, cin, cout)),
-            "down_b": jnp.zeros((cout,)),
-        }
-        stages.append(st)
-        cin = cout
-    p["enc"]["stages"] = stages
-    p["enc"]["post_w"] = _winit(next(keys), (3, cin, cfg.enc_hidden))
-    p["enc"]["post_b"] = jnp.zeros((cfg.enc_hidden,))
-    prior_in = cfg.enc_hidden
+    # Encoder acoustic branch: either the real XCodec2/DAC stack
+    # (models/codecenc.py) or our from-scratch conv stem + strided residual
+    # stages, followed by projections to the FSQ
+    if cfg.enc_family == "codecenc":
+        from neutts_tpu.models import codecenc as ce_mod
+
+        p["enc"]["acoustic"] = ce_mod.init_params(cfg.codecenc, next(keys))
+        prior_in = cfg.codecenc.out_channels
+    else:
+        c0 = cfg.enc_channels[0]
+        p["enc"]["stem_w"] = _winit(next(keys), (7, 1, c0))
+        p["enc"]["stem_b"] = jnp.zeros((c0,))
+        stages = []
+        cin = c0
+        for s, cout in zip(cfg.enc_strides, cfg.enc_channels):
+            st = {
+                "res1_w1": _winit(next(keys), (3, cin, cin)),
+                "res1_b1": jnp.zeros((cin,)),
+                "res1_w2": _winit(next(keys), (1, cin, cin)),
+                "res1_b2": jnp.zeros((cin,)),
+                "down_w": _winit(next(keys), (2 * s, cin, cout)),
+                "down_b": jnp.zeros((cout,)),
+            }
+            stages.append(st)
+            cin = cout
+        p["enc"]["stages"] = stages
+        p["enc"]["post_w"] = _winit(next(keys), (3, cin, cfg.enc_hidden))
+        p["enc"]["post_b"] = jnp.zeros((cfg.enc_hidden,))
+        prior_in = cfg.enc_hidden
     if cfg.semantic is not None:
         from neutts_tpu.models import semantic as sem_mod
 
         p["enc"]["semantic"] = sem_mod.init_params(cfg.semantic, next(keys))
-        p["enc"]["sem_proj_w"] = _winit(
-            next(keys), (cfg.semantic.hidden, cfg.sem_proj_dim))
-        p["enc"]["sem_proj_b"] = jnp.zeros((cfg.sem_proj_dim,))
+        if cfg.sem_encoder == "conv":
+            from neutts_tpu.models import codecenc as ce_mod
+
+            p["enc"]["sem_enc"] = ce_mod.init_semantic_encoder(
+                next(keys), cfg.semantic.hidden, cfg.sem_proj_dim)
+        else:
+            p["enc"]["sem_proj_w"] = _winit(
+                next(keys), (cfg.semantic.hidden, cfg.sem_proj_dim))
+            p["enc"]["sem_proj_b"] = jnp.zeros((cfg.sem_proj_dim,))
         prior_in += cfg.sem_proj_dim
     # fc_prior role: features -> vq_dim; then ResidualFSQ project_in -> fsq_dim.
     # project_in gain 6: the raw latent must SPAN the FSQ lattice cells at
@@ -343,8 +357,16 @@ def param_count(params: Params) -> int:
 
 
 def acoustic_features(cfg: CodecConfig, params: Params, wav: jax.Array) -> jax.Array:
-    """wav: [B, T] 16 kHz mono in [-1,1] -> acoustic branch [B, T/320, H]."""
+    """wav: [B, T] 16 kHz mono in [-1,1] -> acoustic branch [B, T/320, H].
+
+    Dispatches on cfg.enc_family: "codecenc" is the real XCodec2/DAC stack
+    (models/codecenc.py, converted from real `CodecEnc.*` checkpoints);
+    "ours" is the from-scratch trainable design below."""
     e = params["enc"]
+    if cfg.enc_family == "codecenc":
+        from neutts_tpu.models import codecenc
+
+        return codecenc.forward(cfg.codecenc, e["acoustic"], wav)
     x = wav[..., None]  # [B, T, 1]
     x = conv1d(x, e["stem_w"], e["stem_b"])
     for st, s in zip(e["stages"], cfg.enc_strides):
@@ -365,9 +387,11 @@ def encode_features(cfg: CodecConfig, params: Params, wav: jax.Array,
     front-end (audio/mel.py semantic_features over the 160-sample-padded
     waveform — the padding aligns the 50 Hz fbank grid with the acoustic
     hop). Required when cfg.semantic is set: the w2v-BERT tower output is
-    projected and CONCATENATED with the acoustic branch before the fc_prior
-    projection — the real NeuCodec/XCodec2 encode composition (reference
-    neutts/neutts.py:266-271 via the external neucodec package)."""
+    projected and CONCATENATED SEMANTIC-FIRST with the acoustic branch
+    before the fc_prior projection — the real NeuCodec/XCodec2 encode
+    composition (reference neutts/neutts.py:266-271 via the external
+    neucodec package) concatenates cat([semantic_encoded, vq_emb]), and a
+    converted real fc_prior sees its input halves in that order."""
     e = params.get("enc")
     if e is None:
         raise ValueError(
@@ -391,9 +415,15 @@ def encode_features(cfg: CodecConfig, params: Params, wav: jax.Array,
         from neutts_tpu.models import semantic as sem_mod
 
         sem = sem_mod.forward(cfg.semantic, e["semantic"], sem_feats)
-        sem = sem @ e["sem_proj_w"] + e["sem_proj_b"]  # SemanticEncoder role
+        if cfg.sem_encoder == "conv":  # real XCodec2 SemanticEncoder stack
+            from neutts_tpu.models import codecenc
+
+            sem = codecenc.semantic_encoder(e["sem_enc"], sem)
+        else:
+            sem = sem @ e["sem_proj_w"] + e["sem_proj_b"]
         n = min(x.shape[1], sem.shape[1])
-        x = jnp.concatenate([x[:, :n], sem[:, :n]], axis=-1)
+        # semantic-first: upstream composes cat([semantic_encoded, vq_emb])
+        x = jnp.concatenate([sem[:, :n], x[:, :n]], axis=-1)
     return x @ e["prior_w"] + e["prior_b"]
 
 

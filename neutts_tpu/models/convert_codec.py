@@ -342,7 +342,8 @@ def map_decoder_state_dict(
     fsq_levels: Optional[Tuple[int, ...]] = None,
     ignore_unmapped: Tuple[str, ...] = (
         "semantic", "fc_prior", "fc_post_s", "CodecEnc", "encoder",
-        "project_in", "discrim", "num_batches_tracked", "enc.", "sem_proj",
+        "SemanticEncoder", "project_in", "discrim", "num_batches_tracked",
+        "enc.", "sem_proj",
     ),
 ) -> RecoveredDecoder:
     """Map a real-codec state dict onto our decoder tree, recovering the
@@ -545,6 +546,256 @@ def map_decoder_state_dict(
 # by the table above; map_decoder_state_dict handles both families.
 
 
+def _fuse_weight_norm(
+    sub: Dict[str, np.ndarray], base: str
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Resolve a torch conv's weight under `base` -> plain [Cout, Cin, K]
+    weight (+ optional bias). Accepts plain `.weight`, old-style weight norm
+    (`.weight_g`/`.weight_v`), and the parametrize API
+    (`.parametrizations.weight.original{0,1}`); weight norm is fused as
+    w = g * v / ||v||_(per out channel)."""
+    pfx = f"{base}." if base else ""
+    w = sub.get(f"{pfx}weight")
+    if w is None:
+        g = sub.get(f"{pfx}weight_g")
+        v = sub.get(f"{pfx}weight_v")
+        if g is None:
+            g = sub.get(f"{pfx}parametrizations.weight.original0")
+            v = sub.get(f"{pfx}parametrizations.weight.original1")
+        if g is None or v is None:
+            raise ValueError(
+                f"no conv weight under {base!r}: keys {sorted(sub)[:8]}"
+            )
+        norm = np.sqrt((v.astype(np.float64) ** 2).sum(
+            axis=tuple(range(1, v.ndim)), keepdims=True))
+        w = (g.astype(np.float64) * v.astype(np.float64) / norm)
+    return w.astype(np.float32), sub.get(f"{pfx}bias")
+
+
+def _cw(w: np.ndarray) -> np.ndarray:
+    """torch conv weight [Cout, Cin, K] -> our NWC kernel [K, Cin, Cout]."""
+    return np.ascontiguousarray(w.transpose(2, 1, 0)).astype(np.float32)
+
+
+def _subtree(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _map_snake(sub: Dict[str, np.ndarray], cfgref: Dict[str, Any]):
+    """An activation position: plain SnakeBeta (`alpha`[, `beta`]) or the
+    BigVGAN alias-free wrapper (`act.alpha`[, `act.beta`] + up/down filter
+    buffers). Updates cfgref{alias_free, has_beta, act_kernel} consistently
+    and verifies stored anti-aliasing filters against our recomputation."""
+    from neutts_tpu.models import codecenc
+
+    aliased = "act.alpha" in sub
+    plain = "alpha" in sub
+    if not (aliased or plain):
+        raise ValueError(f"no snake alpha at activation position: {sorted(sub)[:8]}")
+    pfx = "act." if aliased else ""
+    cfgref.setdefault("alias_free", aliased)
+    if cfgref["alias_free"] != aliased:
+        raise ValueError("inconsistent alias-free use across activations")
+    p = {"alpha": sub[f"{pfx}alpha"].reshape(-1).astype(np.float32)}
+    beta = sub.get(f"{pfx}beta")
+    cfgref.setdefault("has_beta", beta is not None)
+    if beta is not None:
+        p["beta"] = beta.reshape(-1).astype(np.float32)
+    for role in ("upsample.filter", "downsample.lowpass.filter"):
+        filt = sub.get(role)
+        if filt is not None:
+            filt = filt.reshape(-1)
+            k = int(filt.shape[0])
+            cfgref.setdefault("act_kernel", k)
+            want = codecenc.kaiser_sinc_filter1d(0.25, 0.3, k)
+            if not np.allclose(filt, want, atol=1e-5):
+                raise ValueError(
+                    f"stored anti-aliasing filter ({role}, {k} taps) does "
+                    "not match the kaiser-sinc recomputation — unknown "
+                    "resampling variant, refusing to mis-map"
+                )
+    return p
+
+
+def _map_codecenc(sd: Dict[str, np.ndarray], prefix: str = "CodecEnc."):
+    """Shape-driven map of the real XCodec2/DAC acoustic encoder
+    (`CodecEnc.block.N...`) -> (CodecEncConfig kwargs, codecenc params).
+
+    Classification is structural, not index-hardcoded: a top-level entry
+    with conv weights only is the stem / output conv, `block.*` subkeys an
+    EncoderBlock, `lstm.*` the SLSTM stage, bare snake params the output
+    activation. Stride is recovered from each downsample kernel (k = 2s),
+    ngf/out_channels from conv shapes, LSTM depth from layer suffixes."""
+    tree = _subtree(sd, prefix)
+    tops: Dict[int, Dict[str, np.ndarray]] = {}
+    for k, v in tree.items():
+        m = re.match(r"block\.(\d+)\.(.+)", k)
+        if not m:
+            raise ValueError(f"unrecognized CodecEnc key: {prefix}{k}")
+        tops.setdefault(int(m.group(1)), {})[m.group(2)] = v
+    order = sorted(tops)
+    cfgref: Dict[str, Any] = {}
+    convs: List[Tuple[np.ndarray, Optional[np.ndarray]]] = []
+    blocks: List[Dict[str, Any]] = []
+    acts: List[Dict[str, Any]] = []
+    lstm: List[Dict[str, np.ndarray]] = []
+    strides: List[int] = []
+    n_units: Optional[int] = None
+
+    for i in order:
+        sub = tops[i]
+        if any(k.startswith("lstm.") for k in sub):
+            li = 0
+            while f"lstm.weight_ih_l{li}" in sub:
+                lstm.append({
+                    "w_ih": sub[f"lstm.weight_ih_l{li}"].astype(np.float32),
+                    "w_hh": sub[f"lstm.weight_hh_l{li}"].astype(np.float32),
+                    "b_ih": sub[f"lstm.bias_ih_l{li}"].astype(np.float32),
+                    "b_hh": sub[f"lstm.bias_hh_l{li}"].astype(np.float32),
+                })
+                li += 1
+            if any(k.startswith("lstm.") and "reverse" in k for k in sub):
+                raise ValueError("bidirectional CodecEnc LSTM unsupported")
+        elif any(k.startswith("block.") for k in sub):
+            # EncoderBlock: units at inner indices 0..U-1, then act, then
+            # the strided downsample conv
+            inner: Dict[int, Dict[str, np.ndarray]] = {}
+            for k, v in sub.items():
+                m = re.match(r"block\.(\d+)\.(.+)", k)
+                if not m:
+                    raise ValueError(f"unrecognized EncoderBlock key: {k}")
+                inner.setdefault(int(m.group(1)), {})[m.group(2)] = v
+            units, act_p, down = [], None, None
+            for j in sorted(inner):
+                isub = inner[j]
+                if any(k.startswith("block.") for k in isub):
+                    # ResidualUnit: act, conv k7, act, conv k1
+                    usub: Dict[int, Dict[str, np.ndarray]] = {}
+                    for k, v in isub.items():
+                        m = re.match(r"block\.(\d+)\.(.+)", k)
+                        usub.setdefault(int(m.group(1)), {})[m.group(2)] = v
+                    ui = sorted(usub)
+                    if len(ui) != 4:
+                        raise ValueError(
+                            f"ResidualUnit with {len(ui)} stages (want "
+                            f"act/conv/act/conv): keys {sorted(isub)[:8]}"
+                        )
+                    a1 = _map_snake(usub[ui[0]], cfgref)
+                    w1, b1 = _fuse_weight_norm(usub[ui[1]], "")
+                    a2 = _map_snake(usub[ui[2]], cfgref)
+                    w2, b2 = _fuse_weight_norm(usub[ui[3]], "")
+                    units.append({
+                        "act1": a1, "w1": _cw(w1), "b1": b1.astype(np.float32),
+                        "act2": a2, "w2": _cw(w2), "b2": b2.astype(np.float32),
+                    })
+                elif "alpha" in isub or "act.alpha" in isub:
+                    act_p = _map_snake(isub, cfgref)
+                else:
+                    w, b = _fuse_weight_norm(isub, "")
+                    down = (w, b)
+            if down is None or act_p is None or not units:
+                raise ValueError(
+                    f"EncoderBlock {i} incomplete: units={len(units)} "
+                    f"act={act_p is not None} down={down is not None}"
+                )
+            if n_units is None:
+                n_units = len(units)
+            elif n_units != len(units):
+                raise ValueError("varying ResidualUnit count across blocks")
+            w, b = down
+            if w.shape[2] % 2:
+                raise ValueError(
+                    f"downsample kernel {w.shape[2]} is odd; stride = k/2 "
+                    "recovery needs the DAC k = 2*stride convention"
+                )
+            strides.append(w.shape[2] // 2)
+            blocks.append({
+                "units": units,
+                "act": act_p,
+                "down_w": _cw(w),
+                "down_b": b.astype(np.float32),
+            })
+        elif "alpha" in sub or "act.alpha" in sub:
+            acts.append(_map_snake(sub, cfgref))
+        else:
+            w, b = _fuse_weight_norm(sub, "")
+            convs.append((w, b))
+
+    if len(convs) != 2 or len(acts) != 1 or not blocks:
+        raise ValueError(
+            "CodecEnc structure not recognized: expected stem conv + "
+            f"EncoderBlocks + [lstm] + act + out conv; got {len(convs)} "
+            f"plain convs, {len(blocks)} blocks, {len(acts)} bare acts"
+        )
+    stem_w, stem_b = convs[0]
+    post_w, post_b = convs[1]
+    if stem_w.shape[1] != 1:
+        raise ValueError(f"stem conv in-channels {stem_w.shape[1]} != 1 (mono)")
+    params: Dict[str, Any] = {
+        "stem_w": _cw(stem_w),
+        "stem_b": stem_b.astype(np.float32),
+        "blocks": blocks,
+        "post_act": acts[0],
+        "post_w": _cw(post_w),
+        "post_b": post_b.astype(np.float32),
+    }
+    if lstm:
+        params["lstm"] = lstm
+    base_dil = (1, 3, 9)
+    cfg_kwargs = dict(
+        ngf=int(stem_w.shape[0]),
+        up_ratios=tuple(strides),
+        dilations=base_dil[:n_units] if n_units <= 3 else tuple(
+            base_dil[j % 3] for j in range(n_units)),
+        out_channels=int(post_w.shape[0]),
+        rnn_layers=len(lstm),
+        alias_free=bool(cfgref.get("alias_free", False)),
+        act_kernel=int(cfgref.get("act_kernel", 12)),
+        snake_logscale=bool(cfgref.get("has_beta", False)),
+    )
+    return cfg_kwargs, params
+
+
+def _map_semantic_encoder_conv(
+    sd: Dict[str, np.ndarray],
+) -> Optional[Tuple[int, Dict[str, Any]]]:
+    """Map the conv-stack XCodec2 SemanticEncoder (initial k3 conv ->
+    ReLU/conv/ReLU/conv residual -> final k3 conv) under either real prefix
+    (`SemanticEncoder_module.` / `SemanticEncoder.`). Returns
+    (code_dim, params) or None when no conv layout is present."""
+    for prefix in ("SemanticEncoder_module.", "SemanticEncoder."):
+        sub = _subtree(sd, prefix)
+        if "initial_conv.weight" in sub:
+            break
+    else:
+        return None
+    res_idx = sorted(
+        int(m.group(1))
+        for k in sub
+        if (m := re.match(r"residual_blocks\.(\d+)\.weight$", k))
+    )
+    if len(res_idx) != 2:
+        raise ValueError(
+            f"SemanticEncoder residual_blocks: expected 2 convs, keys "
+            f"{sorted(sub)[:10]}"
+        )
+    iw = sub["initial_conv.weight"]
+    fw = sub["final_conv.weight"]
+    r1, r2 = (sub[f"residual_blocks.{i}.weight"] for i in res_idx)
+    hid = iw.shape[0]
+    p: Dict[str, Any] = {
+        "init_w": _cw(iw),
+        "res1_w": _cw(r1),
+        "res1_b": sub.get(f"residual_blocks.{res_idx[0]}.bias",
+                          np.zeros(hid, np.float32)).astype(np.float32),
+        "res2_w": _cw(r2),
+        "res2_b": sub.get(f"residual_blocks.{res_idx[1]}.bias",
+                          np.zeros(hid, np.float32)).astype(np.float32),
+        "final_w": _cw(fw),
+    }
+    return int(fw.shape[0]), p
+
+
 def map_encoder_state_dict(
     sd: Dict[str, np.ndarray],
     *,
@@ -552,27 +803,53 @@ def map_encoder_state_dict(
 ) -> Optional[Tuple[Dict[str, Any], Dict[str, Any]]]:
     """Map the ENCODER side of a full codec state dict: the w2v-BERT
     semantic tower (`semantic_model.*`, shape-driven via
-    models/semantic.py), the semantic projection, and the fc_prior
-    fusion linear. Returns (cfg_overrides, enc_params) or None when the
-    state dict carries no encoder (decoder-only artifacts).
+    models/semantic.py), the semantic projection (conv `SemanticEncoder`
+    stack or plain linear), the fc_prior fusion linear, the acoustic branch,
+    and the quantizer project_in. Returns (cfg_overrides, enc_params) or
+    None when the state dict carries no encoder (decoder-only artifacts).
 
     The acoustic branch accepts two layouts:
+      * the REAL XCodec2/DAC `CodecEnc.*` conv stack (shape-driven via
+        _map_codecenc -> models/codecenc.py);
       * our canonical tree (keys `enc.stem_w`, `enc.stages.N.*`, ... — what
         neutts_tpu.train checkpoints serialize);
-      * absent acoustic weights with a semantic tower present -> raises
-        with the unmapped key list (a real NeuCodec acoustic encoder whose
-        conv layout we have not yet recovered must fail LOUDLY, never
+      * anything else with a semantic tower present -> raises with the
+        unmapped key list (an unrecognized layout must fail LOUDLY, never
         silently drop to decoder-only).
     """
+    from neutts_tpu.config import CodecEncConfig
     from neutts_tpu.models import semantic as sem_mod
 
     has_semantic = any(k.startswith("semantic_model.") for k in sd)
     has_ours = any(k.startswith("enc.") for k in sd)
-    if not has_semantic and not has_ours:
+    has_codecenc = any(k.startswith("CodecEnc.") for k in sd)
+    if not (has_semantic or has_ours or has_codecenc):
         return None
 
     enc: Dict[str, Any] = {}
     cfg_over: Dict[str, Any] = {}
+
+    if has_codecenc:
+        ck, acoustic = _map_codecenc(sd)
+        cfg_over["enc_family"] = "codecenc"
+        cfg_over["codecenc"] = CodecEncConfig(**ck)
+        enc["acoustic"] = acoustic
+        # the encode path also needs the quantizer's project_in (decode
+        # artifacts only carry project_out through map_decoder_state_dict)
+        pin = {k: v for k, v in sd.items()
+               if re.search(r"quantizer.*project_in\.", k)}
+        wkeys = [k for k in pin if k.endswith("weight")]
+        if len(wkeys) == 1:
+            w = pin[wkeys[0]]
+            enc["project_in_w"] = np.ascontiguousarray(w.T).astype(np.float32)
+            enc["project_in_b"] = pin.get(
+                wkeys[0][: -len("weight")] + "bias",
+                np.zeros(w.shape[0], np.float32),
+            ).astype(np.float32)
+        elif wkeys:
+            raise ValueError(
+                f"multiple quantizer project_in candidates: {sorted(wkeys)}"
+            )
 
     if has_semantic:
         scfg, tower = sem_mod.from_hf_state_dict(sd, prefix="semantic_model.")
@@ -580,25 +857,34 @@ def map_encoder_state_dict(
                              "output_layer": semantic_output_layer})
         cfg_over["semantic"] = scfg
         enc["semantic"] = tower
-        # semantic projection (XCodec2 SemanticEncoder role). Accept a plain
-        # linear under common names; a conv-stack SemanticEncoder we can't
-        # map yet must raise below via the unmapped list.
-        for base in ("sem_proj", "SemanticEncoder", "fc_post_s"):
-            w = sd.get(f"{base}.weight")
-            if w is not None and w.ndim == 2:
-                enc["sem_proj_w"] = np.ascontiguousarray(w.T)
-                enc["sem_proj_b"] = sd.get(
-                    f"{base}.bias", np.zeros(w.shape[0], np.float32)
-                )
-                cfg_over["sem_proj_dim"] = int(w.shape[0])
-                break
+        # semantic projection: the real conv-stack SemanticEncoder first,
+        # then plain-linear fallbacks (our trainable design). fc_post_s is
+        # NOT a projection candidate when a conv stack exists — in the real
+        # layout it is the training-side reconstruction head.
+        conv_res = _map_semantic_encoder_conv(sd)
+        if conv_res is not None:
+            code_dim, sp = conv_res
+            enc["sem_enc"] = sp
+            cfg_over["sem_encoder"] = "conv"
+            cfg_over["sem_proj_dim"] = code_dim
         else:
-            raise ValueError(
-                "semantic tower present but no mappable semantic projection "
-                "(expected a linear at sem_proj./SemanticEncoder./fc_post_s.); "
-                f"encoder-side keys: "
-                f"{sorted(k for k in sd if 'emantic' in k and 'semantic_model' not in k)[:12]}"
-            )
+            for base in ("sem_proj", "SemanticEncoder", "fc_post_s"):
+                w = sd.get(f"{base}.weight")
+                if w is not None and w.ndim == 2:
+                    enc["sem_proj_w"] = np.ascontiguousarray(w.T)
+                    enc["sem_proj_b"] = sd.get(
+                        f"{base}.bias", np.zeros(w.shape[0], np.float32)
+                    )
+                    cfg_over["sem_proj_dim"] = int(w.shape[0])
+                    break
+            else:
+                raise ValueError(
+                    "semantic tower present but no mappable semantic "
+                    "projection (expected the conv SemanticEncoder stack or "
+                    "a linear at sem_proj./SemanticEncoder./fc_post_s.); "
+                    f"encoder-side keys: "
+                    f"{sorted(k for k in sd if 'emantic' in k and 'semantic_model' not in k)[:12]}"
+                )
         w = sd.get("fc_prior.weight")
         if w is None:
             raise ValueError(
@@ -623,15 +909,16 @@ def map_encoder_state_dict(
                 enc.setdefault(sub, v)
         if stages:
             enc["stages"] = [stages[i] for i in sorted(stages)]
-    elif has_semantic:
+    elif has_semantic and not has_codecenc:
         missing = [k for k in ("stem_w", "post_w") if k not in enc]
         if missing:
             raise ValueError(
                 "full-encoder conversion needs the acoustic branch: no "
-                "mappable acoustic conv weights found (our `enc.*` layout). "
-                "A real NeuCodec acoustic stack with an unrecognized layout "
-                "must be added to map_encoder_state_dict — refusing to emit "
-                "a silently semantic-only encoder. Unmapped acoustic keys: "
+                "mappable acoustic conv weights found (real `CodecEnc.*` "
+                "stack or our `enc.*` layout). An acoustic stack with an "
+                "unrecognized layout must be added to map_encoder_state_dict "
+                "— refusing to emit a silently semantic-only encoder. "
+                "Unmapped acoustic keys: "
                 f"{sorted(k for k in sd if k.split('.')[0] in ('CodecEnc', 'encoder'))[:12]}"
             )
     return cfg_over, enc

@@ -442,8 +442,9 @@ def test_full_state_dict_converts_full_encoder(tmp_path):
         cfg2, params2, jnp.asarray(wav)[None], sem_feats=jnp.asarray(sem_feats)
     ))
 
-    # torch composition oracle: HF tower -> sem_proj, concat with the (JAX)
-    # acoustic branch, fc_prior
+    # torch composition oracle: HF tower -> sem_proj, concat SEMANTIC-FIRST
+    # with the (JAX) acoustic branch (upstream cat([semantic_encoded,
+    # vq_emb]) order — a converted real fc_prior sees that order), fc_prior
     ac = np.asarray(cd.acoustic_features(
         cfg2, {"enc": {k: jnp.asarray(np.asarray(v)) if not isinstance(v, list)
                        else [ {kk: jnp.asarray(np.asarray(vv)) for kk, vv in s.items()} for s in v ]
@@ -453,7 +454,7 @@ def test_full_state_dict_converts_full_encoder(tmp_path):
                     output_hidden_states=True).hidden_states[2]
         sem = sem_proj(sem)
         n = min(ac.shape[1], sem.shape[1])
-        feats = torch.cat([torch.from_numpy(ac[:, :n]), sem[:, :n]], dim=-1)
+        feats = torch.cat([sem[:, :n], torch.from_numpy(ac[:, :n])], dim=-1)
         want = fc_prior(feats).numpy()
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
