@@ -459,6 +459,8 @@ def _attend_block(
     mask: jax.Array,  # [B, S, S] bool (True = attend), causal within block
     valid: Optional[jax.Array] = None,  # [B, S] bool — real (non-pad) tokens;
     # enables the flash path (mask must then BE causal+valid, no custom holes)
+    pads: Optional[jax.Array] = None,  # [B] int32 left-pad counts; enables
+    # the VMEM-resident Pallas kernel (mask must be exactly causal+left-pad)
 ) -> jax.Array:
     """Self-attention within a block (prefill / training). [B, S, n_heads, Dh].
 
@@ -487,6 +489,20 @@ def _attend_block(
     shrinking the elementwise work itself.
     """
     B, S, H, Dh = q.shape
+    if (
+        pads is not None
+        and S % 64 == 0
+        and Dh % 64 == 0
+        and H % k.shape[2] == 0
+        and use_pallas_attention()
+    ):
+        # VMEM-resident Pallas prefill attention: no [B, H, S, S] score
+        # materialization in HBM (the XLA paths below are HBM-bound on it —
+        # 13.1 ms/layer at [256, 512] vs ~1.2 ms MXU roofline; the r3 "VPU-
+        # bound" diagnosis held only at G=64). See ops/attention.py.
+        from neutts_tpu.ops import attention as att
+
+        return att.prefill_attention(q, k, v, pads)
     if valid is not None and S >= 256 and use_pallas_attention():
         # XLA's fused attention: ~1.3x the chunked-dense path at TTS prefill
         # shapes (3.6 vs 4.8 ms/layer at [64, 512]) and no materialized
@@ -563,16 +579,17 @@ def _mlp(cfg: BackboneConfig, lp: Params, x: jax.Array) -> jax.Array:
 
 
 def _block_fresh(cfg: BackboneConfig, lp: Params, x, cos, sin, mask,
-                 valid=None):
+                 valid=None, pads=None):
     """Transformer block over a fresh window (no cache read): prefill/training.
 
     mask: [B, S, S] (causal + padding); valid: optional [B, S] non-pad flags
-    enabling the flash path (see _attend_block). Returns (x_out, k, v) — k/v
+    enabling the flash path; pads: optional [B] left-pad counts enabling the
+    Pallas prefill kernel (see _attend_block). Returns (x_out, k, v) — k/v
     for the caller to write into the cache.
     """
     h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, lp, h, cos, sin)
-    attn = _attend_block(q, k, v, mask, valid=valid).reshape(
+    attn = _attend_block(q, k, v, mask, valid=valid, pads=pads).reshape(
         x.shape[0], x.shape[1], cfg.q_dim)
     x = x + _mm(attn, lp["wo"]).astype(x.dtype)
     return _mlp(cfg, lp, x), k, v
@@ -616,7 +633,8 @@ def prefill(
     def body(carry, lp_l):
         x, all_k, all_v, ks, vs, kp, vp = carry
         lp, l = lp_l
-        x, k, v = _block_fresh(cfg, lp, x, cos, sin, mask, valid=valid)
+        x, k, v = _block_fresh(cfg, lp, x, cos, sin, mask, valid=valid,
+                               pads=pad)
         B_, S_ = k.shape[0], k.shape[1]
         kf = k.reshape(B_, S_, -1)
         vf = v.reshape(B_, S_, -1)

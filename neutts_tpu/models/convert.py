@@ -348,14 +348,48 @@ def from_gguf(path: str | Path, dtype="bfloat16"):
 # --- GGUF writer (tests / interchange) ---------------------------------------
 
 
+def _quant_q8_0(x: np.ndarray) -> np.ndarray:
+    """f32 [..., n%32==0] -> Q8_0 blocks [NB, 34] (llama.cpp layout: f16
+    scale d = absmax/127, int8 q = round(x/d))."""
+    flat = np.ascontiguousarray(x, "<f4").reshape(-1, 32)
+    amax = np.max(np.abs(flat), axis=1, keepdims=True)
+    d = (amax / 127.0).astype("<f2")
+    df = d.astype(np.float32)
+    q = np.where(df > 0, np.rint(flat / np.maximum(df, 1e-30)), 0)
+    q = np.clip(q, -127, 127).astype(np.int8)
+    return np.concatenate([d.view(np.uint8), q.view(np.uint8)], axis=1)
+
+
+def _quant_q4_0(x: np.ndarray) -> np.ndarray:
+    """f32 [..., n%32==0] -> Q4_0 blocks [NB, 18] (llama.cpp convention:
+    d = signed-max / -8, nibbles = clamp(round(x/d) + 8, 0, 15); element
+    i<16 in the low nibble of byte i, i>=16 in the high nibble)."""
+    flat = np.ascontiguousarray(x, "<f4").reshape(-1, 32)
+    idx = np.argmax(np.abs(flat), axis=1)
+    m = flat[np.arange(flat.shape[0]), idx][:, None]  # signed max-magnitude
+    d = (m / -8.0).astype("<f2")
+    df = d.astype(np.float32)
+    inv = np.where(df != 0, 1.0 / np.where(df == 0, 1, df), 0.0)
+    q = np.clip(np.rint(flat * inv) + 8, 0, 15).astype(np.uint8)
+    packed = (q[:, :16] | (q[:, 16:] << 4)).astype(np.uint8)
+    return np.concatenate([d.view(np.uint8), packed], axis=1)
+
+
+_QUANT_WRITERS = {"Q8_0": (8, _quant_q8_0), "Q4_0": (2, _quant_q4_0)}
+
+
 def write_gguf(
     path: str | Path,
     meta: Dict[str, Any],
     tensors: Dict[str, np.ndarray],
     align: int = 32,
+    quant: Optional[Dict[str, str]] = None,
 ) -> None:
-    """Minimal GGUF v3 writer (F32 tensors only) — used by round-trip tests
-    and to export synthetic checkpoints."""
+    """Minimal GGUF v3 writer — used by round-trip tests and to export
+    synthetic checkpoints. `quant` maps tensor names to "Q8_0"/"Q4_0"
+    (llama.cpp block quantization; rows must be multiples of 32 elements);
+    everything else is written F32.
+    """
 
     def pstr(s: str) -> bytes:
         b = s.encode()
@@ -392,8 +426,19 @@ def write_gguf(
         out += struct.pack("<I", len(dims))
         for d in dims:
             out += struct.pack("<Q", d)
-        out += struct.pack("<IQ", 0, offset)  # F32
-        blob = arr.tobytes()
+        qt = (quant or {}).get(name)
+        if qt is not None:
+            tid, fn = _QUANT_WRITERS[qt]
+            if arr.shape[-1] % 32:
+                raise ValueError(
+                    f"{name}: row length {arr.shape[-1]} not a multiple of "
+                    f"32 — cannot {qt}-quantize"
+                )
+            blob = fn(arr).tobytes()
+        else:
+            tid = 0  # F32
+            blob = arr.tobytes()
+        out += struct.pack("<IQ", tid, offset)
         pad = (-len(blob)) % align
         blobs.append(blob + b"\x00" * pad)
         offset += len(blob) + pad

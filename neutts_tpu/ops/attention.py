@@ -1237,3 +1237,127 @@ def scatter_prefill(
         jnp.where(hit, proj_vs, v_scale[:, :, :Lp])
     )
     return all_k, all_v, k_scale, v_scale
+
+
+# =============================================================================
+# Prefill attention (VMEM-resident causal attention over a fresh window)
+# =============================================================================
+#
+# The XLA prefill path (backbone._attend_block) materializes the [B, H, S, S]
+# f32 score tensor in HBM — at serving admission shapes ([256, 512], Air:
+# H=14) that is ~3.7 GB of scores written + read back per layer, ~9 ms of
+# pure HBM traffic at v5e bandwidth, and measured 13.1 ms/layer
+# (tools/probe_prefill.py, 315 ms of an 830 ms G=256 admission group).
+# The whole per-(batch, kv-head) attention problem fits VMEM at TTS shapes
+# (k/v [S<=2048, 64] bf16 + one [QB<=512, S] f32 score tile), so this kernel
+# keeps scores on-chip: grid over (B, KV head, q-row block), GQA handled by
+# an unrolled per-q-head loop reusing the k/v tiles — no head repeats, no
+# layout transposes (the failure mode of the r2/r3 flash attempts).
+# Left-pad masking is folded in from the per-row pad counts (SMEM) instead
+# of a materialized [B, S, S] bool mask.
+
+
+def _prefill_kernel(pads_ref, q_ref, k_ref, v_ref, o_ref, *, scale, group):
+    qb = pl.program_id(2)
+    QB = q_ref.shape[1]  # refs arrive squeezed: q/o [G, QB, D], k/v [S, D]
+    S = k_ref.shape[0]
+    pad = pads_ref[pl.program_id(0)]
+    k = k_ref[...]
+    v = v_ref[...]
+    row = qb * QB + lax.broadcasted_iota(jnp.int32, (QB, S), 0)
+    col = lax.broadcasted_iota(jnp.int32, (QB, S), 1)
+    mask = (col <= row) & (col >= pad)
+    rvalid = row[:, :1] >= pad  # [QB, 1] — rows that are real tokens
+    # one [G*QB, S] score dot instead of G small ones: M=G*QB keeps the MXU
+    # pipeline deep (the per-head [QB, 64] x [64, S] dots are latency-bound)
+    q = q_ref[...].reshape(group * QB, q_ref.shape[2])
+    s = lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    # Finite mask value: fully-masked (left-pad) rows must come out
+    # finite garbage, not NaN (see backbone._attend_block_dense).
+    maskt = jnp.concatenate([mask] * group, axis=0)
+    s = jnp.where(maskt, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p * (1.0 / denom)
+    o = lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # zero pad rows (parity with the XLA flash path's valid-zeroing)
+    o = jnp.where(jnp.concatenate([rvalid] * group, axis=0), o, 0.0)
+    o_ref[...] = o.reshape(group, QB, o.shape[-1]).astype(o_ref.dtype)
+
+
+def _prefill_q_block(s: int) -> int:
+    if s <= 512:
+        return s
+    for qb in (512, 384, 256, 192, 128, 64):
+        if s % qb == 0:
+            return qb
+    return 0  # caller falls back to the XLA path
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def prefill_attention(q, k, v, pads, *, interpret: bool = False):
+    """Causal left-pad-masked self-attention over a fresh window.
+
+    q: [B, S, H, D]; k/v: [B, S, K, D]; pads: [B] int32 (left-pad counts).
+    Returns [B, S, H, D] in q.dtype with pad rows zeroed. Numerics match
+    backbone._attend_block_dense to dtype tolerance (f32 scores/softmax,
+    probabilities cast to v.dtype for the PV dot); pinned by
+    tests/test_attention.py.
+    """
+    B, S, H, D = q.shape
+    K = k.shape[2]
+    G = H // K
+    QB = _prefill_q_block(S)
+    assert QB and S % QB == 0, (S, QB)
+    # HEAD-MAJOR q/out ([B, K, G, S, D]): per-head [QB, D] slabs keep their
+    # (sublane, lane) layout for kernel loads/stores — S-major blocks would
+    # need (QB, 64) <-> (..., 1, 64) relayouts Mosaic refuses ("unsupported
+    # shape cast"). The two XLA transposes outside cost ~2x240 MB of HBM
+    # traffic per layer at [256, 512] — small next to the ~7.4 GB of score
+    # materialization this kernel removes. k/v stay S-major (already
+    # per-kv-head slabs).
+    qh = q.reshape(B, S, K, G, D).transpose(0, 2, 3, 1, 4)
+    k4 = k.transpose(0, 2, 1, 3)  # [B, K, S, D]
+    v4 = v.transpose(0, 2, 1, 3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, K, S // QB),
+        in_specs=[
+            pl.BlockSpec(
+                (None, None, G, QB, D), lambda b, h, i, *_: (b, h, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, None, S, D), lambda b, h, i, *_: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, None, S, D), lambda b, h, i, *_: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, None, G, QB, D), lambda b, h, i, *_: (b, h, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kernel = functools.partial(
+        _prefill_kernel, scale=D**-0.5, group=G
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, K, G, QB * (S // QB), D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pads.astype(jnp.int32), qh, k4, v4)
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, S, H, D)

@@ -141,7 +141,8 @@ def prefill_slots(
         # aliasing and copies the multi-GB cache (measured: admit 3.9 -> 6.1 s
         # at 512 slots). The scan emits stacked quantized K/V instead.
         lp, l = lp_l
-        x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask, valid=valid)
+        x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask, valid=valid,
+                                  pads=pads)
         kq, ksc = bb.quantize_kv(k.reshape(G, Lp, -1))
         vq, vsc = bb.quantize_kv(v.reshape(G, Lp, -1))
         return x, (kq, vq, ksc, vsc)
@@ -149,7 +150,8 @@ def prefill_slots(
     def body(carry, lp_l):
         x, all_k, all_v, ks, vs, kp, vp = carry
         lp, l = lp_l
-        x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask, valid=valid)
+        x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask, valid=valid,
+                                  pads=pads)
         kf = k.reshape(G, Lp, -1)
         vf = v.reshape(G, Lp, -1)
         if int4:

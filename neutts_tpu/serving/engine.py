@@ -103,6 +103,14 @@ class Engine:
         # at the cost of (a) rows that finished in segment N decoding through
         # N+1 with tokens discarded, and (b) empty slots riding along until
         # the next admission. tools/profile_serving.py reports these.
+        self.reset_stats()
+
+    def reset_stats(self) -> None:
+        """Zero the tax counters. Call between a compile-warmup run and the
+        measured run: warmup requests (max_new=2 riding full segments) would
+        otherwise dominate the ratios — r3's reported post_eos_frac of 0.176
+        was exactly this contamination; the steady-state value at gen=250 /
+        seg=32 is ~0.027 (the 8-aligned final segment's 249 mod 8 = 1)."""
         self.stats = {
             "dispatched_token_slots": 0,  # segment_steps x n_slots per dispatch
             "useful_tokens": 0,  # tokens delivered to requests
@@ -163,13 +171,19 @@ class Engine:
         if self._inflight is not None:
             _, inflight_slots = self._inflight
             all_complete = True
+            # Cap frees at the queue depth (ADVICE r3): a slot freed but not
+            # re-admitted this tick is never passed to retire_slots, so its
+            # device row would keep decoding discarded tokens in every later
+            # segment (and be miscounted as empty).
+            free_budget = len(self._queue)
             for slot, req in enumerate(self._slot_req):
                 if req is None or req.done:
                     continue
                 gain = self.segment_steps if slot in inflight_slots else 0
                 if len(req.tokens) + gain >= req.max_new:
-                    if self._queue:
+                    if free_budget > 0:
                         self._slot_req[slot] = None  # collect() finishes it
+                        free_budget -= 1
                 else:
                     all_complete = False
             if all_complete and not self._queue:

@@ -88,8 +88,12 @@ def hf_to_gguf_tensors(cfg, weights):
     return t
 
 
-def write_gguf_file(path, cfg, weights):
-    """Serialize `weights` (HF names) as a GGUF file via models/convert.py."""
+def write_gguf_file(path, cfg, weights, quant_type=None):
+    """Serialize `weights` (HF names) as a GGUF file via models/convert.py.
+
+    quant_type: None (F32) | "Q8_0" | "Q4_0" — llama.cpp block quantization
+    applied to every 2-D weight matrix (the reference ships Q8/Q4 GGUFs,
+    reference README.md:51); 1-D tensors stay F32, as llama.cpp does."""
     from neutts_tpu.models import convert
 
     meta = {
@@ -105,7 +109,11 @@ def write_gguf_file(path, cfg, weights):
         "qwen2.attention.layer_norm_rms_epsilon": float(cfg.rms_norm_eps),
         "qwen2.vocab_size": cfg.vocab_size,
     }
-    convert.write_gguf(path, meta, hf_to_gguf_tensors(cfg, weights))
+    tensors = hf_to_gguf_tensors(cfg, weights)
+    quant = None
+    if quant_type is not None:
+        quant = {n: quant_type for n, a in tensors.items() if a.ndim == 2}
+    convert.write_gguf(path, meta, tensors, quant=quant)
     return path
 
 

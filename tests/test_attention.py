@@ -127,3 +127,32 @@ def test_int4_quantized_matches_dequantized_oracle():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
     )
+
+
+@pytest.mark.parametrize("S,pads", [
+    (256, (0, 3, 100, 255)),          # single q block
+    (768, (0, 64, 700, 767)),         # multi q block (QB=384)
+])
+def test_prefill_attention_matches_dense(S, pads):
+    """VMEM-resident prefill kernel == the dense masked-softmax path
+    (with pad rows zeroed, matching the XLA flash path's valid-zeroing)."""
+    from neutts_tpu.models import backbone as bb
+
+    rng = np.random.default_rng(0)
+    B, H, K, D = len(pads), 14, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, K, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, K, D)), jnp.bfloat16)
+    padv = jnp.asarray(pads, jnp.int32)
+    idx = jnp.arange(S)
+    mask = (idx[None, None, :] <= idx[None, :, None]) & (
+        idx[None, None, :] >= padv[:, None, None]
+    )
+    valid = idx[None, :] >= padv[:, None]
+    want = bb._attend_block_dense(q, k, v, mask)
+    want = jnp.where(valid[:, :, None, None], want, 0)
+    got = attn.prefill_attention(q, k, v, padv, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )

@@ -98,6 +98,7 @@ def main():
     eng.run()
     print(f"# warmup (compiles): {time.perf_counter() - t0:.1f}s")
 
+    eng.reset_stats()  # warmup's max_new=2 requests would skew the tax ratios
     for p in prompts:
         eng.submit(p, max_new=args.gen)
     t0 = time.perf_counter()

@@ -73,6 +73,7 @@ def main():
             eng.submit(p, max_new=2)
         eng.run()
 
+    eng.reset_stats()  # warmup's max_new=2 requests would skew the tax ratios
     for p in prompts:
         eng.submit(p, max_new=args.gen)
 
