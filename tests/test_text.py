@@ -254,3 +254,67 @@ def test_get_g2p_warns_on_rule_fallback():
         g = g2p_lib.get_g2p()
     assert g.name == "rule"
     assert any("RuleG2P" in str(r.message) for r in rec)
+
+
+def test_g2p_lts_accuracy_metric():
+    """TRACKED LTS accuracy metric (r3 VERDICT #8): score the
+    letter-to-sound path against the lexicon used as an oracle — each
+    lexicon word is removed and re-derived through word_to_ipa's LTS path,
+    exact-match against its curated (espeak-style) IPA. Floors ratchet UP
+    as rules improve; a regression below them fails.
+
+    History: r3 close 35.3% all / 39.3% content; r4 (flap-t, velar nk,
+    intervocalic th, silent gh, wor-/al- onsets, -ind/-old/-ore/-ear/-ost/
+    -all/-o$ families, -ture/-sure/-ere suffixes, -self/-selves and
+    mis-/un-/out-/be- composition, magic-e diphthong guard) 42.4% / 44.7%.
+    """
+    from neutts_tpu.text import g2p as g2p_mod
+    from neutts_tpu.text.g2p import RuleG2P
+
+    g = RuleG2P()
+    lex = g2p_mod._LEXICON
+    words = [w for w in lex if w.isalpha()]
+    n_all = n_all_ok = n_content = n_content_ok = 0
+    for w in words:
+        want = lex.pop(w)
+        try:
+            got = g.word_to_ipa(w)
+        finally:
+            lex[w] = want
+        ok = got == want
+        n_all += 1
+        n_all_ok += ok
+        if len(w) >= 4:  # content-like words — the realistic OOV shape
+            n_content += 1
+            n_content_ok += ok
+    all_acc = n_all_ok / n_all
+    content_acc = n_content_ok / n_content
+    print(f"[g2p-metric] LTS exact vs lexicon: all {all_acc:.1%} "
+          f"({n_all_ok}/{n_all}), content {content_acc:.1%} "
+          f"({n_content_ok}/{n_content})")
+    assert all_acc >= 0.40, f"LTS all-words accuracy regressed: {all_acc:.1%}"
+    assert content_acc >= 0.42, f"LTS content accuracy regressed: {content_acc:.1%}"
+
+
+def test_g2p_corpus_lexicon_coverage_metric():
+    """TRACKED coverage metric: fraction of running-text corpus words
+    (tests/fixtures/g2p_corpus.txt) resolved through the lexicon or
+    morphology (where RuleG2P is espeak-grade) rather than LTS."""
+    from pathlib import Path
+
+    from neutts_tpu.text import g2p as g2p_mod
+    from neutts_tpu.text.g2p import RuleG2P, expand_numbers
+
+    g = RuleG2P()
+    corpus = Path(__file__).parent / "fixtures" / "g2p_corpus.txt"
+    text = corpus.read_text().replace("’", "'")
+    words = g2p_mod._WORD_RE.findall(expand_numbers(text))
+    covered = sum(
+        1 for word in words
+        if word.lower() in g2p_mod._LEXICON
+        or g._morphology(word.lower()) is not None
+    )
+    cov = covered / len(words)
+    print(f"[g2p-metric] corpus lexicon+morphology coverage: {cov:.1%} "
+          f"({covered}/{len(words)})")
+    assert cov >= 0.97, f"corpus coverage regressed: {cov:.1%}"
