@@ -1255,6 +1255,13 @@ def scatter_prefill(
 # layout transposes (the failure mode of the r2/r3 flash attempts).
 # Left-pad masking is folded in from the per-row pad counts (SMEM) instead
 # of a materialized [B, S, S] bool mask.
+#
+# Dead end (tried 2026-08, r4): a flash-style causal k-block loop (QB=256,
+# online softmax, lax.cond-skipped above-diagonal/pad blocks) measured
+# 11.25 ms vs this kernel's 6.78 ms at [256, 512] — the per-block
+# (m, l, acc) rescale chains + cond overhead + shallower [G*256, 256] dots
+# cost more than the ~25% of work the skipping saves at TTS bucket sizes.
+# Block skipping only pays when S/QB is large; revisit if buckets >> 512.
 
 
 def _prefill_kernel(pads_ref, q_ref, k_ref, v_ref, o_ref, *, scale, group):

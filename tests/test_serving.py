@@ -400,3 +400,34 @@ def test_speech_head_matches_constrained_full_vocab():
     for r, r2 in zip(rids, rids2):
         assert len(results[r]) > 0
         assert all(t == eos or t >= lay.speech_base for t in results[r])
+
+
+def test_predictive_retirement_caps_frees_at_queue_depth(params):
+    """ADVICE r3: when more slots become budget-complete than there are
+    queued requests, only queue-depth slots may be predictively freed — a
+    freed-but-unadmitted slot is never passed to retire_slots and its
+    device row would keep decoding discarded tokens (miscounted as empty).
+    With the cap, the surplus completers retire through the normal path and
+    the empty-slot counter stays at the structural tail only."""
+    scfg = config.SamplingConfig(min_new_tokens=64)
+    eng = Engine(CFG, params, eos_id=EOS, n_slots=4, sampling=scfg,
+                 segment_steps=8)
+    rng = np.random.default_rng(0)
+    prompts = [
+        (rng.integers(0, 50, size=12) + CFG.layout.speech_base).tolist()
+        for _ in range(5)
+    ]
+    # 4 synchronized requests fill all slots; ONE queued request means the
+    # predictive tick may free at most 1 of the 4 completers
+    for p in prompts[:4]:
+        eng.submit(p, max_new=17)
+    eng.submit(prompts[4], max_new=9)
+    res = eng.run(pipelined=True)
+    assert sorted(len(t) for t in res.values()) == [9, 17, 17, 17, 17]
+    s = eng.stats
+    # pre-fix, the 3 orphaned slots rode every later segment as "empty";
+    # post-fix only the tail segments where the queue has drained (the
+    # 5th request finishing alone) contribute empties
+    disp = s["dispatched_token_slots"]
+    assert s["useful_tokens"] == 9 + 4 * 17
+    assert s["empty_token_slots"] <= disp // 2, s
