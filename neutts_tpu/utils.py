@@ -123,5 +123,13 @@ def enable_compile_cache(min_compile_secs: float = 1.0) -> None:
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", min_compile_secs
         )
+        # Keys must be PATH-INDEPENDENT: by default the XLA-caches feature
+        # writes the cache dir's ABSOLUTE PATH into CompileOptions
+        # (xla_gpu_per_fusion_autotune_cache_dir), which is hashed into
+        # every cache key — so entries produced in one checkout can never
+        # hit from another (the r3 driver's 98 s cold prefill; diagnosed
+        # r4 by diffing serialized CompileOptions across runs). The GPU
+        # autotune caches are useless on TPU anyway.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:
         pass
