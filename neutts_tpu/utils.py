@@ -123,13 +123,43 @@ def enable_compile_cache(min_compile_secs: float = 1.0) -> None:
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", min_compile_secs
         )
-        # Keys must be PATH-INDEPENDENT: by default the XLA-caches feature
-        # writes the cache dir's ABSOLUTE PATH into CompileOptions
-        # (xla_gpu_per_fusion_autotune_cache_dir), which is hashed into
-        # every cache key — so entries produced in one checkout can never
-        # hit from another (the r3 driver's 98 s cold prefill; diagnosed
-        # r4 by diffing serialized CompileOptions across runs). The GPU
-        # autotune caches are useless on TPU anyway.
+        # Keys must be PATH-INDEPENDENT (the r3 driver's 98 s cold prefill:
+        # entries produced in one checkout never hit from another). Two
+        # distinct leaks, both diagnosed r4:
+        #  1. the XLA-caches feature writes the cache dir's ABSOLUTE PATH
+        #     into CompileOptions (xla_gpu_per_fusion_autotune_cache_dir),
+        #     hashed into every key — disable it (the GPU autotune caches
+        #     are dead weight on TPU anyway);
         jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+        #  2. Pallas kernels serialize their Mosaic module into the
+        #     tpu_custom_call payload WITH debug info (source paths), and
+        #     the cache key's strip-debuginfo pass cannot reach inside that
+        #     opaque (base64) string attribute — so every pallas-containing
+        #     program keys on the checkout path. Strip debug info from the
+        #     Mosaic module at lowering time instead (cost: Mosaic error
+        #     messages lose source locations in cache-enabled processes —
+        #     bench/tools; the test suite never calls this).
+        import jax._src.tpu_custom_call as _tcc
+
+        if not getattr(_tcc, "_neutts_debuginfo_stripped", False):
+            from jax._src.lib.mlir import passmanager as _pm
+
+            _orig_lower = _tcc.lower_module_to_custom_call
+
+            def _lower(ctx, *in_nodes, module, **kw):
+                with module.context:
+                    _pm.PassManager.parse(
+                        "builtin.module(strip-debuginfo)"
+                    ).run(module.operation)
+                return _orig_lower(ctx, *in_nodes, module=module, **kw)
+
+            _tcc.lower_module_to_custom_call = _lower
+            # pallas_call_registration binds the function through the
+            # jax.experimental.mosaic re-export (a direct name import), so
+            # patch that binding too
+            from jax.experimental import mosaic as _mosaic
+
+            _mosaic.lower_module_to_custom_call = _lower
+            _tcc._neutts_debuginfo_stripped = True
     except Exception:
         pass
