@@ -491,6 +491,9 @@ def _attend_block(
     B, S, H, Dh = q.shape
     if (
         pads is not None
+        and B * k.shape[2] >= 16  # grid = B x K instances: a single-stream
+        # prefill (B=1 -> 2 instances) under-parallelizes the VMEM kernel
+        # and regressed TTFA 452 -> 595 ms; small batches stay on XLA
         and S % 64 == 0
         and Dh % 64 == 0
         and H % k.shape[2] == 0

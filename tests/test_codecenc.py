@@ -411,3 +411,37 @@ def test_real_layout_full_state_dict_converts(tmp_path):
         jnp.asarray(wav)[None], sem_feats=jnp.asarray(sem_feats),
     ))
     np.testing.assert_array_equal(got, got2)
+
+
+def test_codecenc_family_is_trainable():
+    """The converted real-encoder family must also be trainable from
+    scratch (codec_trainer path): init_params covers it and gradients flow
+    through the full encode_latent (conv stack, snake, alias-free
+    resampling, LSTM scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neutts_tpu import config as cfglib
+
+    cfg = cfglib.CODEC_TINY.scaled(
+        enc_family="codecenc",
+        codecenc=config.CodecEncConfig(
+            ngf=4, up_ratios=(2, 4, 5), dilations=(1, 3),
+            out_channels=16, rnn_layers=1,
+        ),
+    )
+    params = cd.init_params(cfg, jax.random.PRNGKey(0))
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 400)), jnp.float32
+    ) * 0.1
+
+    def loss(p):
+        z = cd.encode_latent(cfg, p, wav)
+        return jnp.mean(jnp.square(z))
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads["enc"]["acoustic"])
+    assert leaves and all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # the stem must receive signal (the whole chain is connected)
+    assert float(jnp.abs(grads["enc"]["acoustic"]["stem_w"]).max()) > 0
