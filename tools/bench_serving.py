@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# reference README.md:64 — vLLM batched decode on an RTX 4090, per model
+BASELINES = {"air": 16_194.0, "nano": 19_268.0, "tiny": 16_194.0}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -119,7 +122,7 @@ def main():
         "metric": "serving_gen_tokens_per_s_incl_prefill",
         "value": round(n_tok / dt, 1),
         "unit": "tok/s",
-        "vs_baseline": round(n_tok / dt / 16194.0, 3),
+        "vs_baseline": round(n_tok / dt / BASELINES[args.model], 3),
         "sampling": args.sampling,
         "slots": args.slots,
         "requests": args.requests,
