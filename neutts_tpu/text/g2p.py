@@ -316,8 +316,9 @@ class RuleG2P:
                 out.append("ɾ")  # en-us flap: intervocalic t (letter, city)
                 i += 1
                 continue
-            if c == "s" and i == n - 1 and out and (
-                out[-1] in _VOWEL_IPA or out[-1] in "bdglmnɹvwŋð"
+            if c == "s" and i == n - 1 and out and out[-1] and (
+                (out[-1].rstrip("ː")[-1:] or " ") in _VOWEL_IPA
+                or out[-1][-1] in "bdglmnɹvwŋð"
             ) and not body.endswith("ss"):
                 out.append("z")  # final s voices after a voiced sound
                 i += 1
