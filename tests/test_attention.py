@@ -131,6 +131,7 @@ def test_int4_quantized_matches_dequantized_oracle():
 
 @pytest.mark.parametrize("S,pads", [
     (256, (0, 3, 100, 255)),          # single q block
+    (448, (0, 68, 132, 447)),         # the serving 448-token bucket
     (768, (0, 64, 700, 767)),         # multi q block (QB=384)
 ])
 def test_prefill_attention_matches_dense(S, pads):
