@@ -574,6 +574,26 @@ def _qkv(cfg: BackboneConfig, lp: Params, h: jax.Array, cos, sin):
 
 
 def _mlp(cfg: BackboneConfig, lp: Params, x: jax.Array) -> jax.Array:
+    B, S, D = x.shape
+    if isinstance(lp["w_gate"], dict):
+        F = lp["w_gate"]["q"].shape[-1]
+        from neutts_tpu.ops import mlp as mlp_ops
+
+        if mlp_ops.use_fused_mlp(D, F, B * S):
+            # Fused Pallas MLP (prefill/admission hot path): rms_norm +
+            # W8A8 quant + gate/up/down int8 dots + silu*up + residual in
+            # one VMEM-resident pass — 1.52x the XLA path at admission
+            # shapes on v5e (ops/mlp.py). Quantized weights imply inference
+            # (the trainer keeps bf16 params), so no VJP is needed here.
+            y = mlp_ops.fused_mlp(
+                x.reshape(B * S, D),
+                lp["mlp_norm"],
+                lp["w_gate"]["q"], lp["w_gate"]["s"],
+                lp["w_up"]["q"], lp["w_up"]["s"],
+                lp["w_down"]["q"], lp["w_down"]["s"],
+                eps=cfg.rms_norm_eps,
+            )
+            return y.reshape(B, S, D)
     h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
     gate = _mm(h, lp["w_gate"])
     up = _mm(h, lp["w_up"])

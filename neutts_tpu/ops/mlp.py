@@ -1,0 +1,227 @@
+"""Pallas TPU kernel: fused int8 SwiGLU MLP (prefill/admission hot path).
+
+Why this kernel exists
+----------------------
+The serving admission group ([256, 512] prompt tokens through all layers) is
+the one measured shortfall of the Air serving path (r4 VERDICT #1): its MLP
+accounted for 403 ms of the 767 ms group under XLA, with XLA's int8 GEMM
+measured at only ~39-45% of the v5e int8 MXU peak and *flat in K* —
+epilogue/output-handling bound, not MAC bound. This kernel fuses the whole
+MLP block into one VMEM-resident pass per token tile:
+
+    rms_norm -> per-token activation quant -> int8 gate/up dots ->
+    silu * up -> per-token requant -> int8 down dot -> dequant -> residual add
+
+so the [M, F] gate/up intermediates NEVER touch HBM (at [256, 512] admission
+shapes that is ~2.5 GB of f32 scores per matmul per layer the XLA path
+round-trips), and the three weight matrices stay VMEM-resident across all
+token tiles of one call (fetched once per layer instead of streamed per
+fusion). Measured on v5e (chained-timing probe, tools/probe_gemm.py):
+~242 Tops/s effective = 61% of the 394 Tops int8 peak, vs 159 Tops for the
+equivalent XLA path — 1.52x, taking the 24-layer admission MLP from ~517 ms
+standalone (403 ms marginal in-scan) to ~340 ms.
+
+Numerics
+--------
+Identical quantization semantics to the XLA `_mm` path (backbone.py):
+symmetric per-token activation scales (amax/127), per-output-channel weight
+scales, f32 dequant. The ff requantization uses the SAME global per-token
+scale as XLA (single F chunk). Differences from the XLA path are only dot
+accumulation order and the approximate-reciprocal sigmoid (|rel err| ~2^-12,
+below the int8 quantization noise). Pinned vs the XLA oracle in
+tests/test_mlp.py.
+
+Measured dead ends (v5e, honest chained timing — earlier unchained timings
+in this environment are invalid, the tunnel dedupes identical dispatches):
+  * bf16 down-dot instead of requantize (skip ~7 VPU ops/elem): 134-145
+    Tops vs 242 — the epilogue VPU work is already fully hidden under the
+    MXU; paying bf16-rate MACs for it loses.
+  * manual software pipelining (issue chunk c+1's dots before chunk c's
+    epilogue): no change — Mosaic already overlaps.
+  * fused gate||up single dot over [D, 2F]: +2% at best, not worth the
+    stacked-weight relayout in the param tree.
+  * BM sweep 128..2048: flat within 5%; 256 with a single F chunk is best.
+
+Capability parity: replaces the prefill-side GEMMs of the reference's
+llama.cpp/vLLM backends (reference README.md:52-54, 64).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Largest token-tile size; must divide M. 256 measured best (see module
+# docstring); smaller fallbacks keep the kernel available for small groups.
+_BM_CANDIDATES = (256, 128, 64)
+
+# VMEM budget for gating: weights (3 * D * F int8) + gate/up f32 tiles
+# (2 * BM * BF * 4) + x/out/acc tiles must fit. The raised compile limit
+# below covers Air (~25 MB); configs estimated above the cap fall back to
+# the XLA path rather than risk a Mosaic compile failure (same philosophy
+# as the prefill-attention gate, ADVICE r4).
+_VMEM_LIMIT_BYTES = 100 * 2**20
+_VMEM_GATE_BYTES = 72 * 2**20
+
+
+def _mlp_kernel(x_ref, nw_ref, wg_ref, wu_ref, wd_ref, sg_ref, su_ref,
+                sd_ref, o_ref, *, bf: int, n_chunks: int, eps: float):
+    xf = x_ref[:].astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    h = xf * lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
+    xs = jnp.maximum(
+        jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-8) * (1.0 / 127.0)
+    xq = jnp.clip(
+        jnp.round(h * pl.reciprocal(xs, approx=False)), -127, 127
+    ).astype(jnp.int8)
+    acc = xf  # residual
+    for c in range(n_chunks):
+        sl = pl.ds(c * bf, bf)
+        g32 = jax.lax.dot_general(
+            xq, wg_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        u32 = jax.lax.dot_general(
+            xq, wu_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        g = g32.astype(jnp.float32) * xs * sg_ref[:, sl]
+        u = u32.astype(jnp.float32) * xs * su_ref[:, sl]
+        ff = g * pl.reciprocal(1.0 + jnp.exp(-g), approx=True) * u
+        ffs = jnp.maximum(
+            jnp.max(jnp.abs(ff), axis=-1, keepdims=True), 1e-8) * (1.0 / 127.0)
+        ffq = jnp.clip(
+            jnp.round(ff * pl.reciprocal(ffs, approx=False)), -127, 127
+        ).astype(jnp.int8)
+        d32 = jax.lax.dot_general(
+            ffq, wd_ref[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + d32.astype(jnp.float32) * ffs * sd_ref[:]
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _pick_bm(m: int) -> int:
+    for bm in _BM_CANDIDATES:
+        if m % bm == 0:
+            return bm
+    return 0
+
+
+def _pick_chunks(bm: int, d: int, f: int) -> int:
+    """Number of F chunks: 1 (exact XLA-scale parity) unless the gate/up f32
+    tiles would stress VMEM. Chunked mode quantizes ff per (token, chunk) —
+    finer-grained than the XLA path, never coarser."""
+    for n in (1, 2, 4):
+        if f % n:
+            continue
+        tiles = 2 * bm * (f // n) * 4 * 2  # g/u f32, ~2x live
+        weights = 3 * d * f
+        if tiles + weights <= _VMEM_GATE_BYTES:
+            return n
+    return 0
+
+
+def use_fused_mlp(d: int, f: int, m: int) -> bool:
+    """Trace-time gate: TPU backend, quantized weights assumed by caller,
+    lane-aligned geometry, enough rows to amortize the weight residency."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+    if not on_tpu:
+        return False
+    if d % 128 != 0 or f % 128 != 0:
+        return False
+    bm = _pick_bm(m)
+    if not bm or m < 2048:
+        return False
+    return _pick_chunks(bm, d, f) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_mlp(
+    x: jax.Array,  # [M, D] bf16/f32 — pre-norm residual stream
+    norm_w: jax.Array,  # [D]
+    wg_q: jax.Array,  # [D, F] int8
+    wg_s: jax.Array,  # [F] f32 per-output-channel scales
+    wu_q: jax.Array,
+    wu_s: jax.Array,
+    wd_q: jax.Array,  # [F, D] int8
+    wd_s: jax.Array,  # [D] f32
+    *,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """x + down(silu(gate(norm(x))) * up(norm(x))) with W8A8 quantization.
+
+    Returns [M, D] in x.dtype. Caller must gate with `use_fused_mlp`.
+    """
+    M, D = x.shape
+    F = wg_q.shape[1]
+    bm = _pick_bm(M)
+    assert bm, (M,)
+    n_chunks = _pick_chunks(bm, D, F)
+    assert n_chunks, (bm, D, F)
+    bf = F // n_chunks
+    kern = functools.partial(
+        _mlp_kernel, bf=bf, n_chunks=n_chunks, eps=eps)
+    return pl.pallas_call(
+        kern,
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, D), lambda m: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, F), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, F), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, D), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda m: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, D), lambda m: (m, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(
+        x,
+        norm_w.reshape(1, D),
+        wg_q, wu_q, wd_q,
+        wg_s.reshape(1, F), wu_s.reshape(1, F), wd_s.reshape(1, D),
+    )
+
+
+def fused_mlp_xla(
+    x, norm_w, wg_q, wg_s, wu_q, wu_s, wd_q, wd_s, *, eps: float = 1e-6,
+    n_chunks: int = 1,
+):
+    """XLA oracle replicating the kernel's exact semantics (tests + docs).
+
+    n_chunks > 1 reproduces the chunked per-(token, chunk) ff scales."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    h = xf * lax.rsqrt(var + eps) * norm_w.astype(jnp.float32)
+    xs = jnp.maximum(
+        jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(h / xs), -127, 127).astype(jnp.int8)
+    F = wg_q.shape[1]
+    bf = F // n_chunks
+    acc = xf
+    for c in range(n_chunks):
+        sl = slice(c * bf, (c + 1) * bf)
+        g = jnp.dot(xq, wg_q[:, sl], preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * xs * wg_s[sl]
+        u = jnp.dot(xq, wu_q[:, sl], preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * xs * wu_s[sl]
+        ff = jax.nn.silu(g) * u
+        ffs = jnp.maximum(
+            jnp.max(jnp.abs(ff), axis=-1, keepdims=True), 1e-8) / 127.0
+        ffq = jnp.clip(jnp.round(ff / ffs), -127, 127).astype(jnp.int8)
+        d = jnp.dot(ffq, wd_q[sl, :], preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * ffs * wd_s
+        acc = acc + d
+    return acc.astype(x.dtype)
