@@ -1262,6 +1262,18 @@ def scatter_prefill(
 # (m, l, acc) rescale chains + cond overhead + shallower [G*256, 256] dots
 # cost more than the ~25% of work the skipping saves at TTS bucket sizes.
 # Block skipping only pays when S/QB is large; revisit if buckets >> 512.
+#
+# Dead end (re-tried 2026-08, r5, honest chained timing): a python-UNROLLED
+# causal q-block variant (grid (B, K); per block i one [G*QB, (i+1)*QB]
+# score tile — static shapes, no online softmax, whole-pad-block pl.when
+# skip) measured 6.91 ms/layer at QB=128 and 6.61 at QB=256 vs 6.21 for
+# this single-shot kernel at [256, 512] — the 25-37% causal work saving is
+# eaten by per-block dot issue overhead and sliced o_ref writes. Honest
+# per-layer cost of THIS kernel is 6.2 ms (149 ms per 24-layer [256, 512]
+# admission group) — the r4 knockout attribution of ~250 ms to prefill
+# attention was delta-method pollution, and the r4 VERDICT's "<=150 ms"
+# target was already met when measured directly (x = f(x) chaining +
+# device_get sync; see tools/probe_gemm.py on why unchained timings lie).
 
 
 def _prefill_kernel(pads_ref, q_ref, k_ref, v_ref, o_ref, *, scale, group):

@@ -124,6 +124,17 @@ def _pick_chunks(bm: int, d: int, f: int) -> int:
     return 0
 
 
+def _min_m() -> int:
+    """Row threshold below which the XLA path wins (amortization of the
+    13 MB/layer weight residency DMA). Overridable for experiments via
+    NEUTTS_FUSED_MLP_MIN_M. Measured v5e A/B (bench.py decode, B=512 so
+    M=512): 65.4k tok/s with the kernel vs 66.0k without — the XLA path
+    keeps the decode loop, hence the 2048 default."""
+    import os
+
+    return int(os.environ.get("NEUTTS_FUSED_MLP_MIN_M", "2048"))
+
+
 def use_fused_mlp(d: int, f: int, m: int) -> bool:
     """Trace-time gate: TPU backend, quantized weights assumed by caller,
     lane-aligned geometry, enough rows to amortize the weight residency."""
@@ -136,7 +147,7 @@ def use_fused_mlp(d: int, f: int, m: int) -> bool:
     if d % 128 != 0 or f % 128 != 0:
         return False
     bm = _pick_bm(m)
-    if not bm or m < 2048:
+    if not bm or m < _min_m():
         return False
     return _pick_chunks(bm, d, f) > 0
 

@@ -35,6 +35,9 @@ def main() -> None:
                     "131072 = [256, 512])")
     ap.add_argument("--layers", type=int, default=24)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--decode", action="store_true",
+                    help="A/B one full decode step at B=512 instead (set "
+                    "NEUTTS_FUSED_MLP_MIN_M=512 in a second run to compare)")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +48,44 @@ def main() -> None:
     from neutts_tpu import config
     from neutts_tpu.models import backbone as bb
     from neutts_tpu.ops import mlp as mlp_ops
+
+    if args.decode:
+        import functools
+
+        cfg = config.BY_NAME[args.model].scaled(
+            kv_dtype="int8", logits_dtype="bfloat16")
+        params = jax.device_put(
+            bb.quantize_params(bb.init_params(cfg, jax.random.PRNGKey(0))))
+        params = bb.add_speech_head(cfg, params)
+        B = 512
+        cache = bb.KVCache.create(cfg, B, max_len=2048)
+        pad = jnp.zeros((B,), jnp.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(tok, cache, idx):
+            logits, cache = bb.decode_step(
+                cfg, params, tok, cache, idx, pad, speech_head=True)
+            nxt = jnp.argmax(
+                logits[:, :100].astype(jnp.float32), axis=-1
+            ).astype(jnp.int32) + cfg.layout.speech_base
+            return nxt, cache
+
+        tok = jnp.full((B,), cfg.layout.speech_base, jnp.int32)
+        idx0 = 1024
+        for i in range(3):
+            tok, cache = step(tok, cache, jnp.int32(idx0 + i))
+        _ = jax.device_get(tok[:2])
+        n = 48
+        t0 = time.perf_counter()
+        for i in range(n):
+            tok, cache = step(tok, cache, jnp.int32(idx0 + 3 + i))
+        _ = jax.device_get(tok[:2])
+        dt = (time.perf_counter() - t0) / n
+        mode = ("fused" if mlp_ops.use_fused_mlp(
+            cfg.hidden_size, cfg.intermediate_size, B) else "xla")
+        print(f"decode step B={B} ctx~{idx0} mlp={mode}: "
+              f"{dt*1e3:.2f} ms -> {B/dt:,.0f} tok/s")
+        return
 
     cfg = config.BY_NAME[args.model]
     D, F = cfg.hidden_size, cfg.intermediate_size

@@ -47,7 +47,7 @@ def run_mode(args) -> None:
     if mode == "noattn":
         orig = bb._attend_block
 
-        def no_attn(q, k, v, mask, valid=None):
+        def no_attn(q, k, v, mask, valid=None, pads=None):
             B, S, H, Dh = q.shape
             K = k.shape[2]
             return jnp.broadcast_to(
