@@ -545,11 +545,12 @@ def _staged_kernel(
     step_ref,  # SMEM [1] int32 — current segment step i (staging cols [0, i])
     # inputs
     q_ref,  # VMEM [rb, KG, KD] block-diagonal queries (pre-scaled)
-    k_hbm,  # HBM [L, B, T, KD] int8 settled cache
+    k_hbm,  # HBM [L, B, T, KD] int8 settled cache (int4: [L, B, T/2, KD] bytes)
     v_hbm,
-    ks_hbm,  # HBM [L, B, T] f32 per-token scales
+    ks_hbm,  # HBM [L, B, T] f32 per-token scales (int4: deinterleaved halves)
     vs_hbm,
-    sk_hbm,  # HBM [L, B, S, KD] int8 segment staging
+    sk_hbm,  # HBM [L, B, S, KD] int8 segment staging (int4 mode: UNPACKED
+    #          int4 VALUES in int8 — packing happens at reconcile)
     sv_hbm,
     sks4_hbm,  # HBM [L, B, 1, SEG_PAD] f32 staging scales (4-D view: the
     #            leading dims stay untiled so per-(layer, row) slices are
@@ -558,9 +559,10 @@ def _staged_kernel(
     # outputs
     o_ref,  # VMEM [rb, KG, D]
     # scratch
-    k_buf,  # VMEM (2, rb, bt, KD) int8
+    k_buf,  # VMEM (2, rb, bt, KD) int8 (int4: bt = block_t/2 byte rows)
     v_buf,
-    ksb,  # VMEM (2, rb, bt) f32
+    ksb,  # VMEM (2, rb, bt*? ) f32 — int8: (2, rb, block_t); int4: same
+    #       shape with cols [0, bth) = even-token scales, [bth, 2bth) = odd
     vsb,
     skb,  # VMEM (rb, S, KD) int8 — staging rows
     svb,
@@ -575,7 +577,7 @@ def _staged_kernel(
     l_ref,
     lp_ref,
     cnt_ref,
-    sem,  # DMA (2, 4)
+    sem,  # DMA (2, 4) (int4: (2, 6) — split even/odd scale copies)
     sem_st,  # DMA (4,) — staging reads (one strided copy per buffer)
     *,
     n_kv: int,
@@ -584,12 +586,15 @@ def _staged_kernel(
     block_t: int,
     row_block: int,
     seg: int,
+    int4: bool = False,
+    t_half: int = 0,  # int4: offset of odd-token scales in the scale row
 ):
     tile = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     layer = layer_ref[0]
     step = step_ref[0]
     b0 = tile * row_block
+    bth = block_t // 2 if int4 else block_t
 
     def tile_blocks(t):
         n_max = base_ref[t * row_block]
@@ -602,24 +607,46 @@ def _staged_kernel(
     n_blocks = tile_blocks(tile)
 
     def dmas(slot, t, blk):
-        ds = pl.ds(blk * block_t, block_t)
         rows = pl.ds(t * row_block, row_block)
-        return [
+        out = [
             pltpu.make_async_copy(
-                k_hbm.at[layer, rows, ds, :], k_buf.at[slot], sem.at[slot, 0]
+                k_hbm.at[layer, rows, pl.ds(blk * bth, bth), :],
+                k_buf.at[slot], sem.at[slot, 0]
             ),
             pltpu.make_async_copy(
-                v_hbm.at[layer, rows, ds, :], v_buf.at[slot], sem.at[slot, 1]
-            ),
-            # per-token scales ride the same pipeline (only live blocks are
-            # read — the BlockSpec path streamed whole [rb, T] scale rows)
-            pltpu.make_async_copy(
-                ks_hbm.at[layer, rows, ds], ksb.at[slot], sem.at[slot, 2]
-            ),
-            pltpu.make_async_copy(
-                vs_hbm.at[layer, rows, ds], vsb.at[slot], sem.at[slot, 3]
+                v_hbm.at[layer, rows, pl.ds(blk * bth, bth), :],
+                v_buf.at[slot], sem.at[slot, 1]
             ),
         ]
+        # per-token scales ride the same pipeline (only live blocks are
+        # read — the BlockSpec path streamed whole [rb, T] scale rows)
+        if int4:
+            # deinterleaved halves: even tokens' scales at [blk*bth, +bth),
+            # odd at [t_half + blk*bth, +bth) — matching the score column
+            # order (even half, odd half). Offsets stay provably 128-lane
+            # aligned because bth % 128 == 0 and t_half % 128 == 0
+            # (decode_attention_staged enforces both).
+            for j, (hbm, buf, s0) in enumerate(
+                ((ks_hbm, ksb, 2), (vs_hbm, vsb, 4))
+            ):
+                for half in (0, 1):
+                    out.append(pltpu.make_async_copy(
+                        hbm.at[layer, rows,
+                               pl.ds(half * t_half + blk * bth, bth)],
+                        buf.at[slot, :, pl.ds(half * bth, bth)],
+                        sem.at[slot, s0 + half],
+                    ))
+        else:
+            ds = pl.ds(blk * block_t, block_t)
+            out += [
+                pltpu.make_async_copy(
+                    ks_hbm.at[layer, rows, ds], ksb.at[slot], sem.at[slot, 2]
+                ),
+                pltpu.make_async_copy(
+                    vs_hbm.at[layer, rows, ds], vsb.at[slot], sem.at[slot, 3]
+                ),
+            ]
+        return out
 
     def start_dma(slot, t, blk):
         for d in dmas(slot, t, blk):
@@ -686,17 +713,43 @@ def _staged_kernel(
 
         wait_dma(slot, tile, blk)
 
-        for r in range(row_block):
-            s_ref[r * KG : (r + 1) * KG, :] = jax.lax.dot_general(
-                q_ref[r],
-                k_buf[slot, r].astype(q_ref.dtype),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        if int4:
+            # hi-only decode (see _kernel's int4 branch / _hi4_bf16):
+            # S1 = q . raw_bytes, S2 = q . hi; even-token scores = S1 - 16*S2,
+            # odd-token scores = S2. Columns [0, bth) = even, [bth, 2bth) = odd
+            # — the same order the deinterleaved scale DMAs loaded.
+            for r in range(row_block):
+                kb = k_buf[slot, r]
+                hi = _hi4_bf16(kb, q_ref.dtype)
+                s1 = jax.lax.dot_general(
+                    q_ref[r], kb.astype(q_ref.dtype),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s2 = jax.lax.dot_general(
+                    q_ref[r], hi,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s_ref[r * KG : (r + 1) * KG, :bth] = s1 - 16.0 * s2
+                s_ref[r * KG : (r + 1) * KG, bth:] = s2
+            # token index of column j: even half t = blk*block_t + 2j,
+            # odd half t = blk*block_t + 2j + 1
+            jh = jax.lax.broadcasted_iota(jnp.int32, (RKG, block_t), 1)
+            jmod = jnp.where(jh < bth, jh, jh - bth)
+            parity = jnp.where(jh < bth, 0, 1)
+            t1d = blk * block_t + 2 * jmod + parity
+        else:
+            for r in range(row_block):
+                s_ref[r * KG : (r + 1) * KG, :] = jax.lax.dot_general(
+                    q_ref[r],
+                    k_buf[slot, r].astype(q_ref.dtype),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            t1d = blk * block_t + jax.lax.broadcasted_iota(
+                jnp.int32, (RKG, block_t), 1
             )
-
-        t1d = blk * block_t + jax.lax.broadcasted_iota(
-            jnp.int32, (RKG, block_t), 1
-        )
         valid = (t1d < lp_ref[:, 0:1]) & (t1d >= lp_ref[:, 1:2])
         sc = s_ref[:] * jnp.broadcast_to(
             ksb[slot][:, None, :], (row_block, KG, block_t)
@@ -721,12 +774,30 @@ def _staged_kernel(
         p_ref[:] = pexp.astype(p_ref.dtype)
 
         for r in range(row_block):
-            pv = jax.lax.dot_general(
-                p_ref[r * KG : (r + 1) * KG, :],
-                v_buf[slot, r].astype(p_ref.dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if int4:
+                # pv = P_e.lo + P_o.hi = P_e.raw + (P_o - 16*P_e).hi
+                # (combine on the small [KG, bth] probability halves; see
+                # _kernel's int4 branch for the numeric note)
+                vb = v_buf[slot, r]
+                hi = _hi4_bf16(vb, p_ref.dtype)
+                pe = p_ref[r * KG : (r + 1) * KG, :bth]
+                po = p_ref[r * KG : (r + 1) * KG, bth:]
+                pv = jax.lax.dot_general(
+                    pe, vb.astype(p_ref.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    (po - 16.0 * pe).astype(p_ref.dtype), hi,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                pv = jax.lax.dot_general(
+                    p_ref[r * KG : (r + 1) * KG, :],
+                    v_buf[slot, r].astype(p_ref.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             acc_ref[r] = acc_ref[r] * alpha[r * KG : (r + 1) * KG, :] + pv
         return 0
 
@@ -815,13 +886,30 @@ def decode_attention_staged(
     The serving decode core writes each step's quantized K/V into the staging
     buffers at lockstep column `step` BEFORE calling this (write-then-attend);
     `reconcile_segment` folds staging into the cache at segment end.
+
+    int4 mode (detected when the scale rows are twice the cache time axis —
+    the backbone.KVCache int4 layout): the settled cache holds ARITHMETIC-
+    coded nibble pairs and is unpacked hi-only like decode_attention_stacked;
+    the STAGING buffers hold UNPACKED int4 values in int8 (range [-7, 7]) so
+    the staging block is byte-identical to the int8 path — packing happens
+    once per segment in reconcile_segment4.
     """
     B, K, G, D = q.shape
-    assert all_k.dtype == jnp.int8, "staged path is int8-cache only"
-    T = all_k.shape[2]
+    assert all_k.dtype == jnp.int8, "staged path is int8/int4-cache only"
+    int4 = k_scale.shape[-1] == 2 * all_k.shape[2]
+    T = all_k.shape[2] * (2 if int4 else 1)
     S = stag_k.shape[2]
     assert stag_ks.shape == (all_k.shape[0], B, SEG_PAD), stag_ks.shape
-    block_t = min(block_t, T)
+    if int4:
+        # bth = block_t/2 byte rows per DMA; the deinterleaved scale DMAs
+        # slice the lane axis at offsets {blk*bth, t_half + blk*bth}, which
+        # Mosaic must PROVE 128-lane aligned: bth % 128 == 0 and
+        # t_half % 128 == 0 (T % 256 == 0 gives both for block_t=256).
+        block_t = min(max(block_t, 256), T)
+        assert block_t % 256 == 0, block_t
+        assert T % 256 == 0, T
+    else:
+        block_t = min(block_t, T)
     assert T % block_t == 0, (T, block_t)
     rb = row_block
     while B % rb:
@@ -829,13 +917,14 @@ def decode_attention_staged(
     rb = max(rb, 1)
     KG = K * G
     KD = K * D
+    bth = block_t // 2 if int4 else block_t
 
     in_specs = [
         pl.BlockSpec((rb, KG, KD), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 8
     scratch = [
-        pltpu.VMEM((2, rb, block_t, KD), jnp.int8),
-        pltpu.VMEM((2, rb, block_t, KD), jnp.int8),
+        pltpu.VMEM((2, rb, bth, KD), jnp.int8),
+        pltpu.VMEM((2, rb, bth, KD), jnp.int8),
         pltpu.VMEM((2, rb, block_t), jnp.float32),
         pltpu.VMEM((2, rb, block_t), jnp.float32),
         pltpu.VMEM((rb, S, KD), jnp.int8),
@@ -851,7 +940,7 @@ def decode_attention_staged(
         pltpu.VMEM((rb * KG, 128), jnp.float32),
         pltpu.VMEM((rb * KG, 128), jnp.int32),
         pltpu.SMEM((1,), jnp.int32),
-        pltpu.SemaphoreType.DMA((2, 4)),
+        pltpu.SemaphoreType.DMA((2, 6 if int4 else 4)),
         pltpu.SemaphoreType.DMA((4,)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -865,7 +954,7 @@ def decode_attention_staged(
     )
     kernel = functools.partial(
         _staged_kernel, n_kv=K, group=G, head_dim=D, block_t=block_t,
-        row_block=rb, seg=S,
+        row_block=rb, seg=S, int4=int4, t_half=T // 2,
     )
     qs = (q.astype(jnp.float32) * (D**-0.5)).astype(q.dtype)
     qbd = jnp.zeros((B, K, G, K, D), q.dtype)
@@ -901,11 +990,22 @@ def decode_attention_staged_xla(
     q, all_k, all_v, k_scale, v_scale, stag_k, stag_v, stag_ks, stag_vs,
     layer, step, base, pad,
 ):
-    """XLA oracle for the staged op (tests + CPU fallback semantics)."""
+    """XLA oracle for the staged op (tests + CPU fallback semantics).
+
+    Handles both cache modes: int8 (scales match the time axis) and int4
+    (scale rows twice the byte axis — dequantized via backbone.dequant_kv4;
+    staging holds unpacked int4 values, same math as int8)."""
+    from neutts_tpu.models.backbone import dequant_kv4
+
     B = q.shape[0]
     S = stag_k.shape[2]
-    ck = all_k[layer].astype(jnp.float32) * k_scale[layer][..., None]
-    cv = all_v[layer].astype(jnp.float32) * v_scale[layer][..., None]
+    int4 = k_scale.shape[-1] == 2 * all_k.shape[2]
+    if int4:
+        ck = dequant_kv4(all_k[layer], k_scale[layer])
+        cv = dequant_kv4(all_v[layer], v_scale[layer])
+    else:
+        ck = all_k[layer].astype(jnp.float32) * k_scale[layer][..., None]
+        cv = all_v[layer].astype(jnp.float32) * v_scale[layer][..., None]
     sk = stag_k[layer].astype(jnp.float32) * stag_ks[layer][..., :S, None]
     sv = stag_v[layer].astype(jnp.float32) * stag_vs[layer][..., :S, None]
     T = ck.shape[1]
@@ -929,9 +1029,9 @@ def decode_attention_staged_xla(
 
 
 def _reconcile_kernel(
-    base_ref,  # SMEM [B] int32 — 8-aligned segment base per row
+    base_ref,  # SMEM [B] int32 — 8-aligned segment base per row (TOKENS)
     act_ref,  # SMEM [B] int32 — 1 if the row was active at segment start
-    sk_hbm,  # HBM [L, B, S, KD] int8
+    sk_hbm,  # HBM [L, B, S, KD] int8 (int4 mode: [L, B, S/2, KD] packed)
     sv_hbm,
     k_in,  # HBM [L, B, T, KD] int8 (aliased with k_out)
     v_in,
@@ -940,12 +1040,15 @@ def _reconcile_kernel(
     sem_kv,  # DMA (rb, 2)
     *,
     row_block: int,
-    seg: int,
+    seg: int,  # staged rows to copy (int4: BYTES = tokens/2)
+    int4: bool = False,
 ):
     """Fold one segment's staged K/V into the per-row cache slots
     [base, base+S) — one strided [L, S, KD] DMA per row per buffer. Legal
     because base is always 8-aligned (128-token admission buckets + S a
-    multiple of 8), matching Mosaic's HBM sublane tiling."""
+    multiple of 8), matching Mosaic's HBM sublane tiling. int4 mode: the
+    destination time axis is BYTES at base/2 — legal because int4 segments
+    are 16-token aligned (SEGMENT_ALIGN_INT4), so base/2 is 8-aligned."""
     tile = pl.program_id(0)
     b0 = tile * row_block
 
@@ -954,10 +1057,14 @@ def _reconcile_kernel(
         # `div*8` is a Mosaic DIVISIBILITY PROOF, not arithmetic: Mosaic
         # cannot prove a dynamic index is 8-aligned and refuses the HBM slice
         # without it ("Failed to prove that a tile index ... divisible by
-        # 8"). The value is identical to base by construction — admission
-        # buckets are 128-aligned and Engine.__init__ rejects max_context
-        # not a multiple of 128 (ADVICE r1), segments are 8-aligned.
-        base8 = lax.div(base_ref[b], 8) * 8  # == base (proved invariant)
+        # 8"). The value is identical to base (int4: base/2) by construction
+        # — admission buckets are 128-aligned and Engine.__init__ rejects
+        # max_context not a multiple of 128 (ADVICE r1), segments are 8-
+        # (int4: 16-) aligned.
+        if int4:
+            base8 = lax.div(base_ref[b], 16) * 8  # == base/2 (proved)
+        else:
+            base8 = lax.div(base_ref[b], 8) * 8  # == base (proved invariant)
         return [
             pltpu.make_async_copy(
                 sk_hbm.at[:, b, :, :],
@@ -984,17 +1091,19 @@ def _reconcile_kernel(
                 d.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("row_block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("row_block", "interpret", "int4"))
 def reconcile_segment_kv(
     all_k: jax.Array,  # [L, B, T, K*D] int8 — updated in place (aliased)
     all_v: jax.Array,
-    stag_k: jax.Array,  # [L, B, S, K*D] int8
+    stag_k: jax.Array,  # [L, B, S, K*D] int8 (int4: [L, B, S/2, KD] packed)
     stag_v: jax.Array,
-    base: jax.Array,  # [B] int32 — 8-aligned segment base per row
+    base: jax.Array,  # [B] int32 — 8-aligned segment base per row (tokens)
     active: jax.Array,  # [B] bool — rows active at segment start
     *,
     row_block: int = 16,
     interpret: bool = False,
+    int4: bool = False,
 ):
     """Copy staged K/V into cache slots [base, base+S) for active rows."""
     L, B, T, KD = all_k.shape
@@ -1011,7 +1120,8 @@ def reconcile_segment_kv(
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
         scratch_shapes=[pltpu.SemaphoreType.DMA((rb, 2))],
     )
-    kernel = functools.partial(_reconcile_kernel, row_block=rb, seg=S)
+    kernel = functools.partial(
+        _reconcile_kernel, row_block=rb, seg=S, int4=int4)
     # operands: base(0) active(1) sk(2) sv(3) k(4) v(5); outputs alias 4/5
     new_k, new_v = pl.pallas_call(
         kernel,
@@ -1097,6 +1207,78 @@ def reconcile_segment_xla(
     )
 
 
+# --- int4 segment reconcile ---------------------------------------------------
+
+
+def reconcile_scales4(k_scale, v_scale, stag_ks, stag_vs, base, active, seg):
+    """Fold staged per-token scales into the DEINTERLEAVED int4 scale rows
+    (backbone.KVCache int4 layout: token t's scale lives at
+    t/2 + (t&1)*T/2). Dense one-hot einsum + where, same design as
+    reconcile_scales — Mosaic DMA cannot address single f32 lanes."""
+    L, B, T = k_scale.shape
+    half = T // 2
+    toks = base[:, None] + jnp.arange(seg, dtype=jnp.int32)[None, :]  # [B, S]
+    cols = jnp.right_shift(toks, 1) + (toks & 1) * half  # deint4_index
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    hit = (cols[:, :, None] == t_idx[None, None, :]) & active[:, None, None]
+    oh = hit.astype(jnp.float32)  # [B, S, T]
+    new_ks = jnp.einsum(
+        "lbs,bst->lbt", stag_ks[..., :seg], oh, preferred_element_type=jnp.float32
+    )
+    new_vs = jnp.einsum(
+        "lbs,bst->lbt", stag_vs[..., :seg], oh, preferred_element_type=jnp.float32
+    )
+    anyhit = jnp.any(hit, axis=1)[None]  # [1, B, T]
+    return (
+        jnp.where(anyhit, new_ks, k_scale),
+        jnp.where(anyhit, new_vs, v_scale),
+    )
+
+
+def reconcile_segment4(
+    all_k, all_v, k_scale, v_scale, stag_k, stag_v, stag_ks, stag_vs,
+    base, active, *, row_block: int = 16, interpret: bool = False,
+    use_pallas: bool = True,
+):
+    """int4 variant: pack the segment's UNPACKED staging values into nibble-
+    pair bytes, then fold into the byte-axis cache at [base/2, base/2 + S/2)
+    (Pallas DMA per row) and the deinterleaved scale rows (dense XLA).
+    Requires base % 16 == 0 (SEGMENT_ALIGN_INT4) and S even.
+    Returns (all_k, all_v, k_scale, v_scale)."""
+    from neutts_tpu.models.backbone import pack4_pairs
+
+    S = stag_k.shape[2]
+    assert S % 2 == 0, S
+    pk = pack4_pairs(stag_k)  # [L, B, S/2, KD]
+    pv = pack4_pairs(stag_v)
+    if use_pallas:
+        all_k, all_v = reconcile_segment_kv(
+            all_k, all_v, pk, pv, base, active,
+            row_block=row_block, interpret=interpret, int4=True,
+        )
+    else:
+        L, B, Tb, KD = all_k.shape
+        cols = jnp.right_shift(base, 1)[:, None] + jnp.arange(
+            S // 2, dtype=jnp.int32)[None, :]  # [B, S/2] byte positions
+        t_idx = jnp.arange(Tb, dtype=jnp.int32)
+        hit = (cols[:, :, None] == t_idx[None, None, :]) & active[:, None, None]
+        sel_k = jnp.einsum(
+            "bst,lbsk->lbtk", hit.astype(jnp.int8), pk,
+            preferred_element_type=jnp.int32,
+        ).astype(all_k.dtype)
+        sel_v = jnp.einsum(
+            "bst,lbsk->lbtk", hit.astype(jnp.int8), pv,
+            preferred_element_type=jnp.int32,
+        ).astype(all_v.dtype)
+        anyhit = jnp.any(hit, axis=1)[None, :, :, None]
+        all_k = jnp.where(anyhit, sel_k, all_k)
+        all_v = jnp.where(anyhit, sel_v, all_v)
+    k_scale, v_scale = reconcile_scales4(
+        k_scale, v_scale, stag_ks, stag_vs, base, active, S
+    )
+    return all_k, all_v, k_scale, v_scale
+
+
 def _scatter_prefill_kernel(
     slot_ref,  # SMEM [G] int32 — destination cache row per admission row
     prim_ref,  # SMEM [G] int32 — 1 for the first occurrence of a slot (the
@@ -1163,7 +1345,10 @@ def _scatter_prefill_kv(
 ):
     L, B, T, KD = all_k.shape
     G, Lp = new_k.shape[1], new_k.shape[2]
-    assert Lp % 64 == 0, Lp  # bucket alignment (see kernel docstring)
+    # bucket alignment (see kernel docstring); 32 admits the int4 packed
+    # byte axis (64-token buckets -> 32 byte rows), still >> the 8-sublane
+    # Mosaic tiling the DMA needs
+    assert Lp % 32 == 0, Lp
     rb = row_block
     while G % rb:
         rb //= 2
@@ -1236,6 +1421,59 @@ def scatter_prefill(
     v_scale = v_scale.at[:, :, :Lp].set(
         jnp.where(hit, proj_vs, v_scale[:, :, :Lp])
     )
+    return all_k, all_v, k_scale, v_scale
+
+
+def scatter_prefill4(
+    all_k: jax.Array,  # [L, B, T/2, K*D] int8 packed bytes (aliased)
+    all_v: jax.Array,
+    k_scale: jax.Array,  # [L, B, T] f32 DEINTERLEAVED per-token scales
+    v_scale: jax.Array,
+    new_k: jax.Array,  # [L, G, Lp/2, K*D] int8 packed prompt bytes
+    new_v: jax.Array,
+    new_ks: jax.Array,  # [L, G, Lp] f32 per-token scales in TOKEN order
+    new_vs: jax.Array,
+    slots: jax.Array,  # [G] int32 — destination cache rows
+    primary: jax.Array,  # [G] bool — first occurrence of each slot
+    *,
+    row_block: int = 8,
+    interpret: bool = False,
+):
+    """int4 admission-group cache write: packed prompt K/V land in byte
+    slots [0, Lp/2) via the same per-row Pallas DMA as the int8 path
+    (offset 0 — always aligned); scales are deinterleaved (even tokens to
+    [0, Lp/2), odd to [T/2, T/2 + Lp/2)) through the dense one-hot
+    projection + two static slice updates. Returns the updated buffers."""
+    G, Lp = new_ks.shape[1], new_ks.shape[2]
+    B = all_k.shape[1]
+    T = k_scale.shape[2]
+    half = T // 2
+    assert Lp % 2 == 0 and new_k.shape[2] == Lp // 2, (Lp, new_k.shape)
+    all_k, all_v = _scatter_prefill_kv(
+        all_k, all_v, new_k, new_v, slots, primary,
+        row_block=row_block, interpret=interpret,
+    )
+    rowhot = (
+        (jnp.arange(B, dtype=jnp.int32)[None, :] == slots[:, None])
+        & primary[:, None]
+    )  # [G, B]
+    hit = jnp.any(rowhot, axis=0)[None, :, None]  # [1, B, 1]
+    for par in (0, 1):
+        sel_ks = jnp.einsum(
+            "gb,lgs->lbs", rowhot.astype(jnp.float32), new_ks[:, :, par::2],
+            preferred_element_type=jnp.float32,
+        )
+        sel_vs = jnp.einsum(
+            "gb,lgs->lbs", rowhot.astype(jnp.float32), new_vs[:, :, par::2],
+            preferred_element_type=jnp.float32,
+        )
+        lo = par * half
+        k_scale = k_scale.at[:, :, lo : lo + Lp // 2].set(
+            jnp.where(hit, sel_ks, k_scale[:, :, lo : lo + Lp // 2])
+        )
+        v_scale = v_scale.at[:, :, lo : lo + Lp // 2].set(
+            jnp.where(hit, sel_vs, v_scale[:, :, lo : lo + Lp // 2])
+        )
     return all_k, all_v, k_scale, v_scale
 
 

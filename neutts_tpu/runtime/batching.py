@@ -48,6 +48,10 @@ from neutts_tpu.ops.attention import BLOCK_T, SEG_PAD
 from neutts_tpu.runtime.decode import PROMPT_BUCKETS
 
 SEGMENT_ALIGN = 8  # segment step counts must be multiples of this
+# int4 staged decode packs token pairs into bytes at reconcile, so segment
+# bases must stay 16-token aligned (byte offset base/2 must be 8-aligned for
+# the Mosaic reconcile DMA) — segments are multiples of 16 steps.
+SEGMENT_ALIGN_INT4 = 16
 
 # Extra physical cache slots per row beyond max_context. Sized to the worst
 # case so the physical-headroom bound in `_in_ctx` can NEVER bind before the
@@ -126,13 +130,15 @@ def prefill_slots(
 
     quant = state.cache.quantized
     int4 = state.cache.int4
-    # TPU int8 path: the scan emits the quantized prompt K/V as stacked
+    # TPU int8/int4 path: the scan emits the quantized prompt K/V as stacked
     # outputs and ONE Pallas DMA kernel writes them to the slot rows after
     # the scan — the per-layer XLA scatter it replaces cost ~33 ms per
     # [64, 512] admission group (~13% of serving prefill admission time;
-    # tools/probe_prefill.py `writeonly`).
+    # tools/probe_prefill.py `writeonly`). int4 emits nibble-packed bytes
+    # (the r4 gap: int4 admission was XLA-scatter only, one reason 512-slot
+    # int4 serving ran 29% behind int8 — SERVING_CAPACITY_r04.json).
     pallas_write = (
-        bb.use_pallas_attention(cfg) and quant and not int4 and Lp % 64 == 0
+        bb.use_pallas_attention(cfg) and quant and Lp % 64 == 0
     )
 
     def body_stacked(x, lp_l):
@@ -143,6 +149,13 @@ def prefill_slots(
         lp, l = lp_l
         x, k, v = bb._block_fresh(cfg, lp, x, cos, sin, mask, valid=valid,
                                   pads=pads)
+        if int4:
+            kq, ksc = bb.quantize_kv4(k.reshape(G, Lp, -1))
+            vq, vsc = bb.quantize_kv4(v.reshape(G, Lp, -1))
+            # packed bytes + token-order scales + last-token int4 values
+            # (prev-nibble registers for the scatter-decode compatibility)
+            return x, (bb.pack4_pairs(kq), bb.pack4_pairs(vq), ksc, vsc,
+                       kq[:, -1], vq[:, -1])
         kq, ksc = bb.quantize_kv(k.reshape(G, Lp, -1))
         vq, vsc = bb.quantize_kv(v.reshape(G, Lp, -1))
         return x, (kq, vq, ksc, vsc)
@@ -187,14 +200,27 @@ def prefill_slots(
         from neutts_tpu.ops import attention as attn_ops
 
         x, stacked = lax.scan(body_stacked, x, (params["layers"], layer_ids))
-        kq_st, vq_st, ks_st, vs_st = stacked  # each [L, G, Lp, ...]
         eq = slots[:, None] == slots[None, :]
         primary = jnp.argmax(eq, axis=1) == jnp.arange(G)  # first occurrence
-        new_k, new_v, new_ks, new_vs = attn_ops.scatter_prefill(
-            state.cache.k, state.cache.v,
-            state.cache.k_scale, state.cache.v_scale,
-            kq_st, vq_st, ks_st, vs_st, slots, primary,
-        )
+        if int4:
+            kq_st, vq_st, ks_st, vs_st, kp_st, vp_st = stacked
+            new_k, new_v, new_ks, new_vs = attn_ops.scatter_prefill4(
+                state.cache.k, state.cache.v,
+                state.cache.k_scale, state.cache.v_scale,
+                kq_st, vq_st, ks_st, vs_st, slots, primary,
+            )
+            # prev-nibble registers: tiny [L, G, KD] scatter (kept for the
+            # scatter-decode path's odd-parity pairing invariant). Duplicate
+            # slots carry identical rows, so write order is irrelevant.
+            new_kp = state.cache.k_prev.at[:, slots].set(kp_st)
+            new_vp = state.cache.v_prev.at[:, slots].set(vp_st)
+        else:
+            kq_st, vq_st, ks_st, vs_st = stacked  # each [L, G, Lp, ...]
+            new_k, new_v, new_ks, new_vs = attn_ops.scatter_prefill(
+                state.cache.k, state.cache.v,
+                state.cache.k_scale, state.cache.v_scale,
+                kq_st, vq_st, ks_st, vs_st, slots, primary,
+            )
     else:
         (x, new_k, new_v, new_ks, new_vs, new_kp, new_vp), _ = lax.scan(
             body,
@@ -295,8 +321,9 @@ def decode_steps(
     pallas = bb.use_pallas_attention(cfg)
     quant = state.cache.quantized
     int4 = state.cache.int4
-    if pallas and quant and not int4:
-        assert n_steps % SEGMENT_ALIGN == 0, n_steps
+    if pallas and quant:
+        align = SEGMENT_ALIGN_INT4 if int4 else SEGMENT_ALIGN
+        assert n_steps % align == 0, (n_steps, align)
         # staging scale buffers are lane-padded to SEG_PAD (attention.py)
         assert n_steps <= attn_ops.SEG_PAD, n_steps
         return _decode_steps_staged(cfg, sampling, eos_id, n_steps, params, state)
@@ -304,8 +331,13 @@ def decode_steps(
 
 
 def _decode_steps_staged(cfg, sampling, eos_id, n_steps, params, state):
-    """Segment-staged decode (TPU, int8 cache): lockstep staging writes, the
-    staged flash kernel, one reconcile at segment end. See module docstring."""
+    """Segment-staged decode (TPU, int8/int4 cache): lockstep staging writes,
+    the staged flash kernel, one reconcile at segment end. See module
+    docstring. int4 mode stages UNPACKED int4 values (int8 buffers, same
+    lockstep column writes); nibble packing happens once per segment in
+    reconcile_segment4. The cache's prev-nibble registers are NOT maintained
+    here — they are a scatter-path invariant, and segment bases stay even
+    (SEGMENT_ALIGN_INT4) so every reconciled byte holds a complete pair."""
     from neutts_tpu.ops import attention as attn_ops
 
     B = state.token.shape[0]
@@ -314,6 +346,7 @@ def _decode_steps_staged(cfg, sampling, eos_id, n_steps, params, state):
     K, G = cfg.n_kv_heads, cfg.n_heads // cfg.n_kv_heads
     KD = K * cfg.head_dim
     S = n_steps
+    int4 = state.cache.int4
 
     base = state.lens  # settled length per row — constant over the segment
     pad = state.pad
@@ -339,8 +372,12 @@ def _decode_steps_staged(cfg, sampling, eos_id, n_steps, params, state):
             q, k, v = bb._qkv(cfg, lp, h, cos, sin)
             kf = k[:, 0].reshape(B, -1)
             vf = v[:, 0].reshape(B, -1)
-            kq, ksc = bb.quantize_kv(kf)
-            vq, vsc = bb.quantize_kv(vf)
+            if int4:
+                kq, ksc = bb.quantize_kv4(kf)
+                vq, vsc = bb.quantize_kv4(vf)
+            else:
+                kq, ksc = bb.quantize_kv(kf)
+                vq, vsc = bb.quantize_kv(vf)
             # lockstep staging writes: column i shared by every row
             sk = lax.dynamic_update_slice(sk, kq[None, :, None, :], (l, 0, i, 0))
             sv = lax.dynamic_update_slice(sv, vq[None, :, None, :], (l, 0, i, 0))
@@ -381,12 +418,18 @@ def _decode_steps_staged(cfg, sampling, eos_id, n_steps, params, state):
     carry, outs = lax.scan(step, carry, jnp.arange(n_steps))
     token, lens, active, key, stag_k, stag_v, stag_ks, stag_vs = carry
 
-    new_k, new_v, new_ks, new_vs = attn_ops.reconcile_segment(
+    reconcile = attn_ops.reconcile_segment4 if int4 else attn_ops.reconcile_segment
+    new_k, new_v, new_ks, new_vs = reconcile(
         all_k, all_v, ks_c, vs_c, stag_k, stag_v, stag_ks, stag_vs,
         base, active0,
     )
+    if int4:
+        new_cache = bb.KVCache(new_k, new_v, new_ks, new_vs,
+                               state.cache.k_prev, state.cache.v_prev)
+    else:
+        new_cache = bb.KVCache(new_k, new_v, new_ks, new_vs)
     new_state = SlotState(
-        cache=bb.KVCache(new_k, new_v, new_ks, new_vs),
+        cache=new_cache,
         token=token,
         lens=lens,
         pad=state.pad,

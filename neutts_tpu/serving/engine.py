@@ -78,15 +78,18 @@ class Engine:
                 f"(got {cfg.max_context})"
             )
         # segments must be a multiple of the staged-decode alignment (the
-        # reconcile DMA requires 8-aligned segment bases) and fit the
-        # lane-padded staging scale buffers (batching.py / attention.py)
+        # reconcile DMA requires 8-aligned segment bases; int4 packs token
+        # pairs into bytes, so 16-aligned) and fit the lane-padded staging
+        # scale buffers (batching.py / attention.py)
         from neutts_tpu.ops.attention import SEG_PAD
 
+        align = (
+            batching.SEGMENT_ALIGN_INT4
+            if cfg.kv_dtype == "int4"
+            else batching.SEGMENT_ALIGN
+        )
         self.segment_steps = min(
-            max(
-                batching.SEGMENT_ALIGN,
-                (segment_steps // batching.SEGMENT_ALIGN) * batching.SEGMENT_ALIGN,
-            ),
+            max(align, (segment_steps // align) * align),
             SEG_PAD,
         )
         self.state = batching.SlotState.create(cfg, n_slots, jax.random.PRNGKey(seed))

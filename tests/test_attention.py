@@ -157,3 +157,41 @@ def test_prefill_attention_matches_dense(S, pads):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+def test_staged_int4_matches_oracle():
+    """int4 staged flash-decode (settled packed cache unpacked hi-only +
+    unpacked int8 staging) vs the XLA oracle, across layers/steps/ragged
+    bases. Pins the r5 int4 serving decode kernel."""
+    import numpy as np
+
+    from neutts_tpu.ops import attention as attn
+
+    rng = np.random.default_rng(0)
+    L, B, Tb, K, G, D = 2, 4, 512, 2, 2, 16
+    KD = K * D
+    T = 2 * Tb
+    S = 16
+    q = jnp.asarray(rng.normal(size=(B, K, G, D)), jnp.float32)
+    all_k = jnp.asarray(rng.integers(-119, 120, (L, B, Tb, KD)), jnp.int8)
+    all_v = jnp.asarray(rng.integers(-119, 120, (L, B, Tb, KD)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, T)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, T)), jnp.float32)
+    sk = jnp.asarray(rng.integers(-7, 8, (L, B, S, KD)), jnp.int8)
+    sv = jnp.asarray(rng.integers(-7, 8, (L, B, S, KD)), jnp.int8)
+    sks = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, attn.SEG_PAD)), jnp.float32)
+    svs = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, attn.SEG_PAD)), jnp.float32)
+    base = jnp.asarray([16, 64, 272, 640], jnp.int32)
+    pad = jnp.asarray([3, 0, 5, 1], jnp.int32)
+    for layer in (0, 1):
+        for step in (0, 7, 15):
+            got = attn.decode_attention_staged(
+                q, all_k, all_v, ks, vs, sk, sv, sks, svs,
+                jnp.int32(layer), jnp.int32(step), base, pad,
+                interpret=True, row_block=4)
+            want = attn.decode_attention_staged_xla(
+                q, all_k, all_v, ks, vs, sk, sv, sks, svs,
+                layer, step, base, pad)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(want, np.float32),
+                atol=0.02, rtol=0.05)

@@ -431,3 +431,140 @@ def test_predictive_retirement_caps_frees_at_queue_depth(params):
     disp = s["dispatched_token_slots"]
     assert s["useful_tokens"] == 9 + 4 * 17
     assert s["empty_token_slots"] <= disp // 2, s
+
+
+def test_staged_decode_matches_scatter_path_int4(params, monkeypatch):
+    """int4 segment-staged decode (r5: unpacked staging + packed reconcile at
+    16-token-aligned byte offsets) must match the int4 direct-scatter path
+    EXACTLY — tokens, lens, and every reconciled cache byte/scale.
+
+    The staged ATTENTION is swapped for its exact XLA oracle here so the
+    comparison pins the staging/reconcile machinery bit-for-bit (the bf16
+    Pallas kernel itself is pinned against the same oracle in
+    tests/test_attention.py::test_staged_int4_matches_oracle; its ~1e-3
+    output noise flips greedy argmax on this random-init TINY model, which
+    is sampling sensitivity, not a placement bug). reconcile_segment4 DOES
+    run its real Pallas DMA path (interpret mode) — a wrong byte offset or
+    scale deinterleave shows up as exact-compare failures below."""
+    import functools
+
+    from neutts_tpu.ops import attention as attn
+    from neutts_tpu.runtime import batching
+
+    cfg4 = CFG.scaled(kv_dtype="int4")
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=1)
+    S = 16  # SEGMENT_ALIGN_INT4
+    prompts = [[3, 1, 4, 1, 5], [9, 2, 6], [2, 7, 1, 8, 2, 8], [5]]
+    Lp = 16
+
+    def admit(state):
+        toks = np.zeros((len(prompts), Lp), np.int32)
+        lens = np.zeros((len(prompts),), np.int32)
+        for j, p in enumerate(prompts):
+            toks[j, Lp - len(p):] = p
+            lens[j] = len(p)
+        return batching.prefill_slots(
+            cfg4, scfg, EOS, params, state,
+            jnp.asarray(toks), jnp.asarray(lens),
+            jnp.arange(len(prompts), dtype=jnp.int32),
+        )
+
+    sA = admit(batching.SlotState.create(cfg4, 4, jax.random.PRNGKey(3)))
+    sB = admit(batching.SlotState.create(cfg4, 4, jax.random.PRNGKey(3)))
+
+    def staged_oracle(q, all_k, all_v, ks, vs, sk, sv, sks, svs,
+                      layer, step, base, pad, **kw):
+        return attn.decode_attention_staged_xla(
+            q, all_k, all_v, ks, vs, sk, sv, sks, svs, layer, step, base, pad)
+
+    monkeypatch.setattr(attn, "decode_attention_staged", staged_oracle)
+    monkeypatch.setattr(
+        attn, "reconcile_segment4",
+        functools.partial(attn.reconcile_segment4, interpret=True,
+                          row_block=4),
+    )
+    for _ in range(2):
+        sA, outA = batching._decode_steps_staged(
+            cfg4, scfg, EOS, S, params, sA)
+        sB, outB = batching._decode_steps_scatter(
+            cfg4, scfg, EOS, S, params, sB)
+        np.testing.assert_array_equal(np.asarray(outA), np.asarray(outB))
+    np.testing.assert_array_equal(np.asarray(sA.lens), np.asarray(sB.lens))
+    np.testing.assert_array_equal(np.asarray(sA.active), np.asarray(sB.active))
+    # prompt byte region untouched by decode: bit-exact
+    np.testing.assert_array_equal(
+        np.asarray(sA.cache.k[:, :, :Lp // 2]),
+        np.asarray(sB.cache.k[:, :, :Lp // 2]))
+    # Decoded region: the two attention oracles reduce in different orders
+    # (concat [T+S] vs whole [T]), so hidden states differ by f32 ulps —
+    # scales inherit ~1e-7 rel noise and a quantizer tie can flip a nibble
+    # by one step. A reconcile PLACEMENT bug puts unrelated vectors (or
+    # stale zeros) here — far outside these bounds.
+    lens = np.asarray(sA.lens)
+    half = sA.cache.k_scale.shape[2] // 2
+    for b in range(len(prompts)):
+        nb = int(lens[b]) // 2  # complete bytes
+        for field in ("k", "v"):
+            a = np.asarray(getattr(sA.cache, field)[:, b, :nb]).astype(np.int32)
+            c = np.asarray(getattr(sB.cache, field)[:, b, :nb]).astype(np.int32)
+            lo_a, hi_a = a - 16 * ((a + 8) >> 4), (a + 8) >> 4
+            lo_c, hi_c = c - 16 * ((c + 8) >> 4), (c + 8) >> 4
+            assert np.max(np.abs(lo_a - lo_c)) <= 1, f"{field} lo row {b}"
+            assert np.max(np.abs(hi_a - hi_c)) <= 1, f"{field} hi row {b}"
+        ne, no = (int(lens[b]) + 1) // 2, int(lens[b]) // 2
+        for field in ("k_scale", "v_scale"):
+            a = np.asarray(getattr(sA.cache, field)[:, b])
+            c = np.asarray(getattr(sB.cache, field)[:, b])
+            np.testing.assert_allclose(a[:, :ne], c[:, :ne], rtol=1e-5,
+                                       err_msg=f"{field} even row {b}")
+            np.testing.assert_allclose(a[:, half:half + no],
+                                       c[:, half:half + no], rtol=1e-5,
+                                       err_msg=f"{field} odd row {b}")
+
+
+def test_pallas_prefill_write_matches_xla_scatter_int4(params, monkeypatch):
+    """int4 Pallas admission write (scatter_prefill4: packed-byte DMA +
+    deinterleaved scale fold) must land the same bytes as the XLA scatter
+    admission path (r4 gap: int4 admission was XLA-only)."""
+    import functools
+
+    from neutts_tpu.models import backbone as bbm
+    from neutts_tpu.ops import attention as attn
+    from neutts_tpu.runtime import batching
+
+    cfg4 = CFG.scaled(kv_dtype="int4")
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=1)
+    Lp, G = 128, 4
+    prompts = [[3, 1, 4, 1, 5], [9, 2, 6], [2, 7, 1, 8], [11]]
+    toks = np.zeros((G, Lp), np.int32)
+    lens = np.zeros((G,), np.int32)
+    for j, p in enumerate(prompts):
+        toks[j, Lp - len(p):] = p
+        lens[j] = len(p)
+    slots = np.asarray([1, 3, 5, 7], np.int32)
+
+    def admit(force_pallas):
+        if force_pallas:
+            monkeypatch.setattr(bbm, "use_pallas_attention",
+                                lambda cfg=None: True)
+            monkeypatch.setattr(
+                attn, "scatter_prefill4",
+                functools.partial(attn.scatter_prefill4, interpret=True),
+            )
+        else:
+            monkeypatch.setattr(bbm, "use_pallas_attention",
+                                lambda cfg=None: False)
+        state = batching.SlotState.create(cfg4, 8, jax.random.PRNGKey(3))
+        return batching.prefill_slots(
+            cfg4, scfg, EOS, params, state,
+            jnp.asarray(toks), jnp.asarray(lens), jnp.asarray(slots),
+        )
+
+    sA = admit(True)
+    sB = admit(False)
+    np.testing.assert_array_equal(np.asarray(sA.token), np.asarray(sB.token))
+    np.testing.assert_array_equal(np.asarray(sA.lens), np.asarray(sB.lens))
+    for field in ("k", "v", "k_scale", "v_scale", "k_prev", "v_prev"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sA.cache, field)),
+            np.asarray(getattr(sB.cache, field)), err_msg=field)
