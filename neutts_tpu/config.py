@@ -118,7 +118,9 @@ class BackboneConfig:
     dtype: str = "bfloat16"
     kv_dtype: str = "bfloat16"  # "bfloat16" | "int8" (per-token scales) |
     # "int4" (nibble-packed pairs, per-token-per-head scales — 4x bf16 cache
-    # capacity and half the int8 decode-attention bandwidth)
+    # capacity and half the int8 decode-attention bandwidth) | "auto"
+    # (resolved per call site by expected total context: int8 below
+    # KV_AUTO_CROSSOVER tokens, int4 at/above — see resolve_kv_dtype)
     # dtype of the decode-loop logits buffer (untrimmed LM-head path only).
     # bf16 halves the [B, 217k] logit HBM traffic; top-k candidates are
     # upcast to f32 before sampling. Greedy parity gates use the trimmed f32
@@ -151,6 +153,25 @@ class BackboneConfig:
 
     def scaled(self, **kw) -> "BackboneConfig":
         return dataclasses.replace(self, **kw)
+
+
+# kv_dtype="auto" crossover (total context tokens): below this int8 decode
+# is faster (the int4 kernel's 512-token DMA blocks over-read short live
+# prefixes — ops/attention.py BLOCK_T4 note); at/above, int4 wins (~8%
+# faster at ctx >= 1024, r3 sweep) and halves cache bytes. Serving measured
+# int4 >= int8 everywhere after the r5 staged-int4 work
+# (SERVING_CAPACITY_r05.json), so serving "auto" resolves straight to int4.
+KV_AUTO_CROSSOVER = 1024
+
+
+def resolve_kv_dtype(cfg: "BackboneConfig", total_ctx: int) -> "BackboneConfig":
+    """Resolve kv_dtype="auto" by the call site's expected TOTAL context
+    (prompt + generation budget). No-op for explicit kv dtypes."""
+    if cfg.kv_dtype != "auto":
+        return cfg
+    return cfg.scaled(
+        kv_dtype="int8" if total_ctx < KV_AUTO_CROSSOVER else "int4"
+    )
 
 
 def _lm(name: str, layout: TokenLayout, **kw) -> BackboneConfig:

@@ -136,6 +136,19 @@ def _generate_impl(
 @functools.partial(
     jax.jit, static_argnames=("cfg", "sampling", "eos_id", "max_new"), donate_argnums=()
 )
+def _generate_jit(
+    cfg: BackboneConfig,
+    sampling: SamplingConfig,
+    eos_id: int,
+    max_new: int,
+    params,
+    tokens: jax.Array,
+    prompt_lens: jax.Array,
+    key: jax.Array,
+) -> GenerateResult:
+    return _generate_impl(cfg, sampling, eos_id, max_new, params, tokens, prompt_lens, key)
+
+
 def generate(
     cfg: BackboneConfig,
     sampling: SamplingConfig,
@@ -146,8 +159,16 @@ def generate(
     prompt_lens: jax.Array,
     key: jax.Array,
 ) -> GenerateResult:
-    """Jitted prefill + AR decode. See `_generate_impl` for semantics."""
-    return _generate_impl(cfg, sampling, eos_id, max_new, params, tokens, prompt_lens, key)
+    """Jitted prefill + AR decode. See `_generate_impl` for semantics.
+
+    kv_dtype="auto" resolves here from the actual total context of this
+    call (prompt bucket + generation budget): int8 below
+    config.KV_AUTO_CROSSOVER, int4 at/above (config.resolve_kv_dtype)."""
+    from neutts_tpu.config import resolve_kv_dtype
+
+    cap = max(min(max_new, cfg.max_context - 1), 1)
+    cfg = resolve_kv_dtype(cfg, int(tokens.shape[1]) + cap)
+    return _generate_jit(cfg, sampling, eos_id, max_new, params, tokens, prompt_lens, key)
 
 
 # --- host-side helpers --------------------------------------------------------
@@ -218,7 +239,7 @@ class DecodeState(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sampling", "eos_id"))
-def prefill_init(
+def _prefill_init_jit(
     cfg: BackboneConfig,
     sampling: SamplingConfig,
     eos_id: int,
@@ -227,7 +248,6 @@ def prefill_init(
     prompt_lens: jax.Array,
     key: jax.Array,
 ) -> Tuple[DecodeState, jax.Array]:
-    """Prefill + first sampled token. Returns (state, first_token [B])."""
     B, Lp = tokens.shape
     pad = (Lp - prompt_lens).astype(jnp.int32)
     cache = bb.KVCache.create(
@@ -257,6 +277,28 @@ def prefill_init(
         prompt_end=jnp.int32(Lp),
     )
     return state, first
+
+
+def prefill_init(
+    cfg: BackboneConfig,
+    sampling: SamplingConfig,
+    eos_id: int,
+    params,
+    tokens: jax.Array,  # [B, Lp] left-padded
+    prompt_lens: jax.Array,
+    key: jax.Array,
+) -> Tuple[DecodeState, jax.Array]:
+    """Prefill + first sampled token. Returns (state, first_token [B]).
+
+    Streaming is open-ended (the cache is sized at max_context), so
+    kv_dtype="auto" resolves against max_context — int4 at the default
+    2048 window (capacity-safe for the longest utterances; the serving
+    sweep showed int4 >= int8 everywhere, SERVING_CAPACITY_r05.json)."""
+    from neutts_tpu.config import resolve_kv_dtype
+
+    cfg = resolve_kv_dtype(cfg, cfg.max_context)
+    return _prefill_init_jit(cfg, sampling, eos_id, params, tokens,
+                             prompt_lens, key)
 
 
 @functools.partial(

@@ -55,6 +55,13 @@ class Engine:
         segment_steps: int = 32,
         seed: int = 0,
     ):
+        from neutts_tpu.config import resolve_kv_dtype
+
+        # kv_dtype="auto": serving slots live for arbitrary request mixes,
+        # so resolve against the full context window (int4 at the default
+        # 2048 — measured >= int8 at every serving config after the r5
+        # staged-int4 work, SERVING_CAPACITY_r05.json)
+        cfg = resolve_kv_dtype(cfg, cfg.max_context)
         self.cfg = cfg
         self.eos_id = eos_id
         self.n_slots = n_slots

@@ -258,3 +258,46 @@ def test_int4_odd_prompt_write_preserves_prompt_nibble(params):
     np.testing.assert_array_equal(before, after)
     # and decoding actually progressed past the shared byte
     assert int(np.asarray(state.lens)[0]) > L
+
+
+def test_kv_dtype_auto_resolution():
+    """kv_dtype="auto" (r5): int8 below the crossover context, int4 at/above;
+    explicit dtypes pass through untouched."""
+    from neutts_tpu import config as cfglib
+    from neutts_tpu.config import TINY, resolve_kv_dtype
+
+    auto = TINY.scaled(kv_dtype="auto")
+    assert resolve_kv_dtype(auto, 512).kv_dtype == "int8"
+    assert resolve_kv_dtype(auto, cfglib.KV_AUTO_CROSSOVER).kv_dtype == "int4"
+    assert resolve_kv_dtype(auto, 2048).kv_dtype == "int4"
+    assert resolve_kv_dtype(TINY, 2048).kv_dtype == TINY.kv_dtype
+
+
+def test_generate_auto_matches_explicit():
+    """generate() with auto must produce exactly the resolved explicit run."""
+    import jax
+    import numpy as np
+
+    from neutts_tpu import config
+    from neutts_tpu.runtime import decode as dec
+
+    cfg = config.TINY
+    eos = cfg.layout.speech_gen_end
+    params = bb.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=2)
+    toks, lens = dec.pad_prompts([[5, 6, 7, 8], [9, 10]], pad_id=0, bucket=128)
+    key = jax.random.PRNGKey(1)
+    # TINY max_context 512: bucket 128 + cap -> total < 1024 -> int8
+    r_auto = dec.generate(cfg.scaled(kv_dtype="auto"), scfg, eos, 16,
+                          params, toks, lens, key)
+    r_int8 = dec.generate(cfg.scaled(kv_dtype="int8"), scfg, eos, 16,
+                          params, toks, lens, key)
+    np.testing.assert_array_equal(np.asarray(r_auto.tokens),
+                                  np.asarray(r_int8.tokens))
+    # long-window config resolves to int4
+    cfg_long = cfg.scaled(kv_dtype="auto", max_context=2048)
+    r_auto4 = dec.generate(cfg_long, scfg, eos, 1024, params, toks, lens, key)
+    r_int4 = dec.generate(cfg_long.scaled(kv_dtype="int4"), scfg, eos, 1024,
+                          params, toks, lens, key)
+    np.testing.assert_array_equal(np.asarray(r_auto4.tokens),
+                                  np.asarray(r_int4.tokens))
