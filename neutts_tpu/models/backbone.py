@@ -489,6 +489,7 @@ def _attend_block(
     shrinking the elementwise work itself.
     """
     B, S, H, Dh = q.shape
+    G_ = H // max(k.shape[2], 1)
     if (
         pads is not None
         and B * k.shape[2] >= 16  # grid = B x K instances: a single-stream
@@ -497,6 +498,12 @@ def _attend_block(
         and S % 64 == 0
         and Dh % 64 == 0
         and H % k.shape[2] == 0
+        # VMEM budget (ADVICE r4): the kernel's per-instance [G*QB, S] f32
+        # score tile grows with S (Air S=2048: ~29 MB); cap the estimated
+        # footprint so oversized buckets fall back to XLA instead of
+        # becoming a Mosaic compile failure. 40 MB verified to compile at
+        # Air S=2048 with the raised vmem limit (ops/attention.py).
+        and G_ * min(S, 512) * S * 4 <= 40 * 2**20
         and use_pallas_attention()
     ):
         # VMEM-resident Pallas prefill attention: no [B, H, S, S] score

@@ -601,6 +601,24 @@ def _map_snake(sub: Dict[str, np.ndarray], cfgref: Dict[str, Any]):
     cfgref.setdefault("has_beta", beta is not None)
     if beta is not None:
         p["beta"] = beta.reshape(-1).astype(np.float32)
+        # ADVICE r4: snake_logscale is inferred from beta PRESENCE (the
+        # upstream SnakeBeta default pairs beta with alpha_logscale=True),
+        # but a SnakeBeta trained with alpha_logscale=False would reach here
+        # too and exp() its linear-scale params into garbage. Sanity-check
+        # the value distribution: log-scale alphas initialize at 0 and stay
+        # near it (exp(a) ~ 1); linear-scale alphas initialize at 1. A
+        # beta-carrying checkpoint whose alphas cluster near 1 with no
+        # negatives is almost certainly linear-scale — refuse rather than
+        # silently mis-scale (converter loud-failure philosophy).
+        a = p["alpha"]
+        if a.size >= 4 and float(np.median(a)) > 0.5 and float(a.min()) > 0.1:
+            raise ValueError(
+                "SnakeBeta alpha values cluster near 1 with no mass near 0 "
+                f"(median {float(np.median(a)):.3f}, min {float(a.min()):.3f})"
+                " — this looks like alpha_logscale=False, which the presence-"
+                "of-beta heuristic would mis-map as log-scale. If intentional,"
+                " set snake_logscale=False on the converted CodecEncConfig."
+            )
     for role in ("upsample.filter", "downsample.lowpass.filter"):
         filt = sub.get(role)
         if filt is not None:
@@ -832,6 +850,14 @@ def map_encoder_state_dict(
         values — from_hf_state_dict already reads the tower geometry from
         shapes, and left/right/pad should be cross-checked against that
         config file when one is present.
+      * residual-unit dilations (1, 3, 9) in the CodecEnc blocks (ADVICE
+        r4): dilation is unrecoverable from weight shapes (same-padding
+        hides it), so _map_codecenc assumes the DAC/XCodec2 schedule; a
+        checkpoint trained with a different schedule converts without
+        error and produces silently wrong numerics. Verification is the
+        same parity sweep as semantic_output_layer: run the converted
+        encoder vs the torch package on one clip — a wrong schedule
+        mismatches ~all codes.
     """
     from neutts_tpu.config import CodecEncConfig
     from neutts_tpu.models import semantic as sem_mod

@@ -1614,6 +1614,10 @@ def prefill_attention(q, k, v, pads, *, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((B, K, G, QB * (S // QB), D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # long buckets (S >= 1024) need headroom for the [G*QB, S] f32
+            # score tile; the backbone gate caps the estimate at 40 MB
+            # (ADVICE r4 — S=2048 Air compiles under this limit)
+            vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
     )(pads.astype(jnp.int32), qh, k4, v4)

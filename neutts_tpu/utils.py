@@ -146,12 +146,24 @@ def enable_compile_cache(min_compile_secs: float = 1.0) -> None:
 
             _orig_lower = _tcc.lower_module_to_custom_call
 
-            def _lower(ctx, *in_nodes, module, **kw):
-                with module.context:
-                    _pm.PassManager.parse(
-                        "builtin.module(strip-debuginfo)"
-                    ).run(module.operation)
-                return _orig_lower(ctx, *in_nodes, module=module, **kw)
+            def _lower(*args, **kw):
+                # ADVICE r4: the wrapper body runs at LOWERING time, outside
+                # the try/except guarding patch installation — an MLIR/JAX
+                # API or signature drift here would break every pallas
+                # lowering. Accept any calling convention, best-effort strip
+                # the debug info, and degrade to the original lowering
+                # (cache keys go path-dependent, compiles still succeed)
+                # instead of failing the program.
+                try:
+                    module = kw.get("module")
+                    if module is not None:
+                        with module.context:
+                            _pm.PassManager.parse(
+                                "builtin.module(strip-debuginfo)"
+                            ).run(module.operation)
+                except Exception:
+                    pass
+                return _orig_lower(*args, **kw)
 
             _tcc.lower_module_to_custom_call = _lower
             # pallas_call_registration binds the function through the
