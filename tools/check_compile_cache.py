@@ -54,13 +54,77 @@ def run_bench(repo: Path, extra_env=None):
     )
 
 
+def sync_cache(apply: bool) -> int:
+    """--prune: recompute the LIVE driver-path program set by running
+    bench.py against an EMPTY cache in a clean clone (every file it creates
+    is a driver-path program, keyed by content hash), then diff against the
+    committed set: stale committed blobs are pruned and missing live blobs
+    staged, so each jit-path refactor swaps exactly the live programs
+    (r4 VERDICT #9 — the refresh used to be manual and left strays)."""
+    tmp = Path(tempfile.mkdtemp(prefix="neutts_prune_"))
+    subprocess.run(
+        ["git", "clone", "--quiet", str(REPO), str(tmp / "repo")], check=True
+    )
+    repo = tmp / "repo"
+    cache = repo / ".jax_cache"
+    if cache.is_dir():
+        for f in cache.iterdir():
+            f.unlink()
+    cache.mkdir(exist_ok=True)
+    rc, t_pre, t_dec, out = run_bench(repo)
+    if rc != 0:
+        print(out[-2000:])
+        return 1
+    live = set(os.listdir(cache))
+    committed = set(
+        Path(p).name
+        for p in subprocess.run(
+            ["git", "ls-files", ".jax_cache"], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.split()
+    )
+    stale = sorted(committed - live)
+    missing = sorted(live - committed)
+    print(f"# live driver-path programs: {len(live)}; committed: "
+          f"{len(committed)}; stale: {len(stale)}; missing: {len(missing)}")
+    for f in stale:
+        print(f"# stale   {f}")
+        if apply:
+            subprocess.run(["git", "rm", "-q", "-f", f".jax_cache/{f}"],
+                           cwd=REPO, check=True)
+    for f in missing:
+        sz = (cache / f).stat().st_size
+        print(f"# missing {f} ({sz/1e6:.1f} MB)")
+        if apply:
+            (REPO / ".jax_cache").mkdir(exist_ok=True)
+            (REPO / ".jax_cache" / f).write_bytes((cache / f).read_bytes())
+            subprocess.run(["git", "add", "-f", f".jax_cache/{f}"],
+                           cwd=REPO, check=True)
+    if apply and (stale or missing):
+        print("# applied: stale entries removed, live entries staged — "
+              "commit the result")
+    elif not apply and (stale or missing):
+        print("# re-run with --prune --apply to swap the committed set")
+    else:
+        print("# committed set == live set, nothing to do")
+    return 0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-prefill-secs", type=float, default=20.0)
     ap.add_argument("--clean-clone", action="store_true",
                     help="clone HEAD into /tmp and bench there (the exact "
                     "driver situation: committed cache entries only)")
+    ap.add_argument("--prune", action="store_true",
+                    help="recompute the live driver-path program set from an "
+                    "empty cache and diff it against the committed blobs")
+    ap.add_argument("--apply", action="store_true",
+                    help="with --prune: git-rm stale blobs and stage live ones")
     args = ap.parse_args()
+
+    if args.prune:
+        sys.exit(sync_cache(args.apply))
 
     if args.clean_clone:
         tmp = Path(tempfile.mkdtemp(prefix="neutts_clean_"))
