@@ -157,6 +157,39 @@ _LEXICON = {
     "actually": "ˈæktʃuːəli", "basically": "bˈeɪsɪkli",
     "literally": "lˈɪɾɚəli", "probably": "pɹˈɑːbəbli",
     "definitely": "dˈɛfɪnətli", "certainly": "sˈɜːtənli",
+    # high-frequency general-English block (r5 growth beyond the fixture
+    # corpus: conversational + news-register words)
+    "money": "mˈʌni", "business": "bˈɪznəs", "company": "kˈʌmpəni",
+    "government": "ɡˈʌvɚnmənt", "problem": "pɹˈɑːbləm",
+    "question": "kwˈɛstʃən", "questions": "kwˈɛstʃənz",
+    "person": "pˈɜːsən", "woman": "wˈʊmən", "women": "wˈɪmɪn",
+    "minute": "mˈɪnɪt", "minutes": "mˈɪnɪts", "moment": "mˈoʊmənt",
+    "reason": "ɹˈiːzən", "result": "ɹɪzˈʌlt", "service": "sˈɜːvɪs",
+    "several": "sˈɛvɹəl", "special": "spˈɛʃəl", "student": "stˈuːdənt",
+    "students": "stˈuːdənts", "power": "pˈaʊɚ", "early": "ˈɜːli",
+    "evening": "ˈiːvnɪŋ", "afternoon": "ˌæftɚnˈuːn",
+    "yesterday": "jˈɛstɚdeɪ", "week": "wˈiːk", "month": "mˈʌnθ",
+    "months": "mˈʌnθs", "hour": "ˈaʊɚ", "hours": "ˈaʊɚz", "done": "dˈʌn",
+    "gone": "ɡˈɔn", "says": "sˈɛz", "area": "ˈɛɹiə", "body": "bˈɑːdi",
+    "half": "hˈæf", "heart": "hˈɑːɹt", "blood": "blˈʌd",
+    "brother": "bɹˈʌðɚ", "sister": "sˈɪstɚ", "daughter": "dˈɔːɾɚ",
+    "son": "sˈʌn", "truth": "tɹˈuːθ", "true": "tɹˈuː",
+    "beautiful": "bjˈuːɾɪfəl", "eight": "ˈeɪt", "twice": "twˈaɪs",
+    "sure": "ʃˈʊɹ", "poor": "pˈʊɹ", "door": "dˈoːɹ", "floor": "flˈoːɹ",
+    "war": "wˈoːɹ", "warm": "wˈoːɹm", "police": "pəlˈiːs",
+    "piece": "pˈiːs", "field": "fˈiːld", "believe": "bɪlˈiːv",
+    "receive": "ɹɪsˈiːv", "behind": "bɪhˈaɪnd", "front": "fɹˈʌnt",
+    "building": "bˈɪldɪŋ", "build": "bˈɪld", "built": "bˈɪlt",
+    "caught": "kˈɔːt", "taught": "tˈɔːt", "bought": "bˈɔːt",
+    "brought": "bɹˈɔːt", "wrong": "ɹˈɑːŋ", "strong": "stɹˈɑːŋ",
+    "iron": "ˈaɪɚn", "island": "ˈaɪlənd", "ocean": "ˈoʊʃən",
+    "weather": "wˈɛðɚ", "climate": "klˈaɪmət", "north": "nˈoːɹθ",
+    "south": "sˈaʊθ", "east": "ˈiːst", "west": "wˈɛst",
+    "language": "lˈæŋɡwɪdʒ", "science": "sˈaɪəns", "history": "hˈɪstɚɹi",
+    "future": "fjˈuːtʃɚ", "present": "pɹˈɛzənt", "past": "pˈæst",
+    "community": "kəmjˈuːnɪɾi", "technology": "tɛknˈɑːlədʒi",
+    "computer": "kəmpjˈuːɾɚ", "internet": "ˈɪntɚnˌɛt",
+    "phone": "fˈoʊn", "email": "ˈiːmeɪl", "online": "ˈɑːnlaɪn",
     "against": "ɐɡˈɛnst", "during": "djˈʊɹɪŋ", "towards": "təwˈɔːɹdz",
     "across": "əkɹˈɔs", "behind": "bɪhˈaɪnd", "beyond": "bɪjˈɑːnd",
     "within": "wɪðˈɪn", "among": "əmˈʌŋ", "despite": "dɪspˈaɪt",
@@ -188,14 +221,17 @@ _RULES = [
     ("ind$", "aɪnd"), ("ild$", "aɪld"), ("old$", "oʊld"),
     ("ore$", "oːɹ"), ("ically$", "ɪkli"), ("o$", "oʊ"),
     ("ear$", "ɪɹ"), ("ost$", "oʊst"), ("all$", "ɔːl"),
+    ("sch", "sk"), ("ouse$", "aʊs"), ("oup$", "uːp"),
     ("ing$", "ɪŋ"), ("qu", "kw"), ("ph", "f"), ("sh", "ʃ"), ("ch", "tʃ"),
     ("th", "θ"), ("wh", "w"), ("ck", "k"), ("ng", "ŋ"), ("wr", "ɹ"),
-    ("kn", "n"), ("gn$", "n"), ("mb$", "m"), ("oo", "uː"), ("ee", "iː"),
+    ("oor$", "oːɹ"), ("ield", "iːld"), ("alf$", "æf"), ("orth$", "oːɹθ"),
+    ("cial", "ʃəl"), ("cean", "ʃən"),
+    ("ei", "iː"), ("kn", "n"), ("gn$", "n"), ("mb$", "m"), ("oo", "uː"), ("ee", "iː"),
     ("ea", "iː"), ("ai", "eɪ"), ("ay", "eɪ"), ("oa", "oʊ"), ("ow$", "oʊ"),
     ("ould$", "ʊd"), ("ou", "aʊ"), ("ow", "aʊ"), ("oi", "ɔɪ"), ("oy", "ɔɪ"),
     ("au", "ɔː"), ("aw", "ɔː"), ("ew", "uː"), ("ar", "ɑːɹ"), ("er$", "ɚ"),
-    ("er", "ɜː"), ("ir", "ɜː"), ("ur", "ɜː"), ("or", "ɔːɹ"), ("ey$", "i"),
-    ("ie$", "aɪ"),
+    ("ery$", "ɛɹi"), ("er", "ɜː"), ("ir", "ɜː"), ("ur", "ɜː"), ("or", "ɔːɹ"), ("ey$", "i"),
+    ("ie$", "aɪ"), ("ie", "iː"),
     ("a", "æ"), ("b", "b"), ("c", "k"), ("d", "d"), ("e", "ɛ"), ("f", "f"),
     ("g", "ɡ"), ("h", "h"), ("i", "ɪ"), ("j", "dʒ"), ("k", "k"), ("l", "l"),
     ("m", "m"), ("n", "n"), ("o", "ɑː"), ("p", "p"), ("r", "ɹ"), ("s", "s"),
@@ -206,13 +242,109 @@ _RULES = [
 # doubled consonant letters collapse to one sound (dinner, happy, running)
 _DOUBLE_RE = re.compile(r"([bcdfghjklmnpqrstvz])\1")
 
+# Unstressed-suffix families, matched on the RAW word before the doubled-
+# consonant collapse and final-e stripping (r5: the largest espeak-divergence
+# class was full vowels where espeak reduces to schwa). Each entry is
+# (suffix, ipa tail, constraint) with constraint one of:
+#   "v"  — the head must contain a vowel letter (the suffix is unstressed,
+#          so a syllable must precede it);
+#   "cv" — like "v" AND the head must end in a consonant letter (keeps
+#          'deal'/'while' off the -al/-le families);
+#   ""   — no head requirement (the family is also the whole word: 'other').
+# Matched first-wins, longest families first.
+_SUFFIX_FAMILIES = (
+    ("ation", "eɪʃən", ""),  # the eɪ is the suffix's own nucleus
+    ("tion", "ʃən", "v"),
+    ("sion", "ʒən", "v"),
+    ("cious", "ʃəs", "v"),
+    ("tious", "ʃəs", "v"),
+    ("other", "ʌðɚ", ""),
+    ("ence", "əns", "cv"),
+    ("ance", "əns", "cv"),
+    ("ment", "mənt", "v"),
+    ("ness", "nəs", "v"),
+    ("able", "əbəl", "v"),
+    ("ible", "ɪbəl", "v"),
+    ("ious", "iəs", "cv"),
+    ("ous", "əs", "cv"),
+    ("ful", "fəl", "v"),
+    ("ion", "jən", "cv"),
+    ("ent", "ənt", "cv"),
+    ("ant", "ənt", "cv"),
+    ("all", "ɔːl", ""),
+    ("alk", "ɔːk", ""),
+    ("al", "əl", "cv"),
+    ("le", "əl", "cv"),
+    ("eral", "ɹəl", "v"),
+    ("ate", "ət", "cv"),
+    ("arry", "æɹi", ""),
+    ("erry", "ɛɹi", ""),
+    ("ture", "tʃɚ", "v"),
+    ("sure", "ʒɚ", "v"),
+    ("ere", "ɪɹ", "v"),
+)
+
 _VOWEL_IPA = set("æɛɪɑʌʊɔeiouaəɚɜ")
+
+# legal word-onset consonant clusters (for the a-/be- prefix-stress guard)
+_ONSETS = {
+    "bl", "br", "cl", "cr", "ch", "dr", "fl", "fr", "gl", "gr", "pl", "pr",
+    "sc", "sh", "sk", "sl", "sm", "sn", "sp", "st", "sw", "th", "tr", "tw",
+    "wh", "wr", "qu",
+}
 
 _ONES = ["zero", "one", "two", "three", "four", "five", "six", "seven",
          "eight", "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
          "fifteen", "sixteen", "seventeen", "eighteen", "nineteen"]
 _TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
          "eighty", "ninety"]
+
+
+# Multi-character IPA segments (affricates, diphthongs, long vowels,
+# r-colored finals) for phoneme-level scoring — longest-first.
+_IPA_SEGMENTS = sorted(
+    ["tʃ", "dʒ", "eɪ", "aɪ", "ɔɪ", "aʊ", "oʊ", "iː", "uː", "ɑː", "ɔː",
+     "ɜː", "oː", "ɪɹ", "ɛɹ", "ʊɹ"],
+    key=len, reverse=True,
+)
+
+
+def ipa_segments(ipa: str) -> List[str]:
+    """Split an IPA string into phoneme segments (stress/length marks
+    dropped; affricates and diphthongs kept whole). The unit of the
+    phoneme-error-rate metric."""
+    out: List[str] = []
+    i = 0
+    while i < len(ipa):
+        if ipa[i] in "ˈˌː":
+            i += 1
+            continue
+        for s in _IPA_SEGMENTS:
+            if ipa.startswith(s, i):
+                out.append(s)
+                i += len(s)
+                break
+        else:
+            out.append(ipa[i])
+            i += 1
+    return out
+
+
+def phoneme_error_rate(got: str, want: str) -> float:
+    """Levenshtein distance over IPA segments / reference length — the
+    standard G2P quality grain (an off-by-one schwa scores 1 edit, not a
+    whole-word miss like exact match does)."""
+    a, b = ipa_segments(got), ipa_segments(want)
+    if not b:
+        return float(len(a) > 0)
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[-1] / len(b)
 
 
 def number_to_words(n: int) -> str:
@@ -251,12 +383,50 @@ class RuleG2P:
         morph = self._morphology(w)
         if morph is not None:
             return morph
-        # suffix families the final-e stripping below would mangle
-        for suf, tail in (("ture", "tʃɚ"), ("sure", "ʒɚ"), ("ere", "ɪɹ")):
-            if w.endswith(suf) and len(w) > len(suf) + 1:
-                head = w[: -len(suf)]
-                return self._stress(
-                    self._lts(_DOUBLE_RE.sub(r"\1", head)) + tail)
+        # general productive suffixes on OOV stems (lexicon-stem composition
+        # in _morphology already returned above when applicable)
+        if w.endswith("ied") and len(w) >= 5:
+            stem = self.word_to_ipa(w[:-3] + "y")  # tried -> try
+            return stem + ("d" if stem[-1:] not in _VOICELESS else "t")
+        if w.endswith("ly") and len(w) >= 6 and w[:-2] not in _LEXICON \
+                and not w.endswith("ically"):
+            return self.word_to_ipa(w[:-2]) + "li"
+        # unstressed a-/be- prefixes shift stress rightward (a-bout, be-low,
+        # a-round, be-tween — the dominant pattern for these onsets). The
+        # doubled-letter guard keeps non-prefix words out (be-tter, a-ttic);
+        # the recursion must yield a stressed, consonant-initial remainder
+        # (rules out a-pple -> "pple").
+        for pre, head_ipa, min_len in (("a", "ɐ", 5), ("be", "bɪ", 5)):
+            j = len(pre)
+            if (len(w) >= min_len and w.startswith(pre)
+                    and w[j] not in "aeiouy'"
+                    and (j + 1 >= len(w) or w[j] != w[j + 1])):
+                # a CLOSED first syllable keeps its stress (af-ter, an-swer,
+                # al-ways): two consonants after the prefix block it unless
+                # they form a legal onset cluster (a-cross, a-gree)
+                if (j + 1 < len(w) and w[j + 1] not in "aeiouy"
+                        and w[j : j + 2] not in _ONSETS):
+                    continue
+                rest = self.word_to_ipa(w[j:])
+                if "ˈ" in rest and rest and rest[0] not in _VOWEL_IPA:
+                    return head_ipa + rest
+        # unstressed-suffix families on the RAW word (the final-e strip and
+        # doubled-consonant collapse below would mangle them)
+        for suf, tail, constraint in _SUFFIX_FAMILIES:
+            if not w.endswith(suf) or len(w) <= len(suf):
+                continue
+            head = w[: -len(suf)]
+            if constraint and not any(ch in "aeiouy" for ch in head):
+                continue
+            if constraint == "cv" and (not head or head[-1] in "aeiou"):
+                continue
+            ipa = self._lts(_DOUBLE_RE.sub(r"\1", head)) + tail
+            return self._reduce_final(self._stress(ipa))
+        # -ive on Latinate stems reads ɪv (impressive, responsive); short
+        # words keep the magic-e path (five, drive)
+        if w.endswith("ive") and len(w) >= 6:
+            return self._reduce_final(self._stress(
+                self._lts(_DOUBLE_RE.sub(r"\1", w[:-3])) + "ɪv"))
         final_e = w.endswith("e") and len(w) > 2
         body = w[:-1] if final_e else w
         # doubled consonant letters are one sound (dinner, running, happy)
@@ -275,9 +445,12 @@ class RuleG2P:
                                  ("ɑː", "oʊ"), ("ʌ", "uː")]:
                 k = ipa.rfind(short)
                 if k != -1 and (k == 0 or ipa[k - 1] not in _VOWEL_IPA):
+                    tail = ipa[k + len(short):]
+                    if len(tail) >= 2 and tail[0] in "nlɹ":
+                        break  # closed n/l/r cluster: since, else, sense
                     ipa = ipa[:k] + long_ + ipa[k + len(short):]
                     break
-        return self._stress(ipa)
+        return self._reduce_final(self._stress(ipa))
 
     @staticmethod
     def _lts(body: str) -> str:
@@ -311,6 +484,39 @@ class RuleG2P:
                 out.append("ʊ")  # book/look/took family
                 i += 2
                 continue
+            if i <= 1 and body.startswith("ear", i) and \
+                    body[i + 3 : i + 4] not in ("", "a", "e", "i", "o",
+                                                "u", "y", "s") and \
+                    not (i > 0 and body.endswith("ly")):
+                # ear+consonant: early, earth, learn, heard, search. The
+                # guards keep 'years/hears' (ɪɹz) and 'nearly/yearly'
+                # (ɪɹli) on the ɪɹ path.
+                out.append("ɜː")
+                i += 3
+                continue
+            if c == "u" and i + 2 < n and nxt not in "aeiouy" and \
+                    nxt != "r" and body[i + 2] in "aeiou":
+                # open syllable u: mUsic, hUman (juː after labials/velars;
+                # uː after coronals — sUper, dUty)
+                out.append("juː" if i == 0 or body[i - 1] in "mfhpbvkc"
+                           else "uː")
+                i += 1
+                continue
+            if c == "s" and 0 < i < n - 1 and body[i - 1] in "aeiouy" and \
+                    body[i + 1] in "aeiouy":
+                out.append("z")  # intervocalic s voices: music, easy, reason
+                i += 1
+                continue
+            if c == "o" and i + 2 < n and nxt in "bdfgkmpstvz" and \
+                    body[i + 2] in "aeiou":  # 'l' excluded: follow, gallon
+                out.append("oʊ")  # open syllable o: over, open, moment
+                i += 1
+                continue
+            if c == "x" and 0 < i < n - 1 and body[i - 1] in "aeiouy" and \
+                    body[i + 1] in "aeiouy":
+                out.append("ɡz")  # voiced x between vowels: example, exact
+                i += 1
+                continue
             if c == "t" and 0 < i and body[i - 1] in "aeiou" and \
                     nxt in "aeiouy" and i + 1 < n:
                 out.append("ɾ")  # en-us flap: intervocalic t (letter, city)
@@ -335,6 +541,15 @@ class RuleG2P:
             if body.startswith("wh", i) and body[i + 2: i + 3] == "o":
                 out.append("h")  # who / whole / whose
                 i += 2
+                continue
+            if i == 0 and c == "w" and nxt == "a" and \
+                    body[2:3] not in ("", "a", "e", "i", "o", "u", "y"):
+                if body[2] == "r":
+                    out.append("woːɹ")  # war, warm, warn
+                    i += 3
+                else:
+                    out.append("wɑː")  # want, watch, wander (water's ɔː is
+                    i += 2              # the minority)
                 continue
             if i == 0 and body.startswith("wor") and \
                     body[3:4] not in ("", "a", "e", "i", "o", "u", "y"):
@@ -392,6 +607,25 @@ class RuleG2P:
             at = nuclei[-2]
         return ipa[:at] + "ˈ" + ipa[at:]
 
+    @classmethod
+    def _reduce_final(cls, ipa: str) -> str:
+        """Reduce an unstressed FINAL closed syllable's ɛ to ə (system,
+        seven, silent) — espeak's dominant reduction; applies only when the
+        primary stress sits on an EARLIER syllable."""
+        for seg in ("ɛ", "ɑː"):
+            k = ipa.rfind(seg)
+            if k <= 0 or k + len(seg) >= len(ipa):
+                continue
+            s = ipa.find("ˈ")
+            if s == -1 or s >= k:
+                continue
+            if not any(ch in _VOWEL_IPA for ch in ipa[s + 1 : k]):
+                continue  # the stress belongs to THIS syllable
+            if any(ch in _VOWEL_IPA for ch in ipa[k + len(seg) :]):
+                continue  # not the final syllable
+            return ipa[:k] + "ə" + ipa[k + len(seg) :]
+        return ipa
+
     @staticmethod
     def _plural_s(stem_ipa: str) -> str:
         """-s with voicing assimilation: sibilant+ɪz / voiceless+s / else z."""
@@ -424,7 +658,7 @@ class RuleG2P:
         if w.endswith("s") and not w.endswith("ss") and w[:-1] in _LEXICON:
             return self._plural_s(_LEXICON[w[:-1]])
         if w.endswith("ed"):
-            stems = [w[:-2], w[:-1]]  # walk+ed, like+d
+            stems = [s_ for s_ in (w[:-2], w[:-1]) if len(s_) >= 3]
             if len(w) > 4 and w[-3] == w[-4]:
                 stems.append(w[:-3])  # stopped -> stop (doubled consonant)
             for stem_txt in stems:
@@ -436,7 +670,13 @@ class RuleG2P:
                         return stem + "t"
                     return stem + "d"
         if w.endswith("ing"):
-            stems = [w[:-3], w[:-3] + "e"]  # mess+ing, clone->cloning
+            # stems shorter than 3 are suffix coincidences ('thing' is not
+            # the+ing); 'be'/'do'/'go' are the legitimate short stems
+            # bare stems need >= 3 letters ('thing' is not th+ing), e-stems
+            # >= 4 ('thing' is not the+ing either); be/do/go legitimate
+            stems = [s_ for s_ in (w[:-3],) if len(s_) >= 3
+                     or s_ in ("be", "do", "go")]
+            stems += [s_ for s_ in (w[:-3] + "e",) if len(s_) >= 4]
             if len(w) > 5 and w[-4] == w[-5]:
                 stems.append(w[:-4])  # running -> run (doubled consonant)
             for stem_txt in stems:

@@ -257,24 +257,35 @@ def test_get_g2p_warns_on_rule_fallback():
 
 
 def test_g2p_lts_accuracy_metric():
-    """TRACKED LTS accuracy metric (r3 VERDICT #8): score the
-    letter-to-sound path against the lexicon used as an oracle — each
-    lexicon word is removed and re-derived through word_to_ipa's LTS path,
-    exact-match against its curated (espeak-style) IPA. Floors ratchet UP
-    as rules improve; a regression below them fails.
+    """TRACKED LTS accuracy metrics (r3 VERDICT #8, r4 VERDICT #5): score
+    the letter-to-sound path against the lexicon used as an oracle — each
+    lexicon word is removed and re-derived through word_to_ipa's LTS path.
+    Two grains (r5): exact match AND phoneme error rate (edit distance over
+    IPA segments — a near-miss schwa is 1 edit, not a whole-word miss).
+    Floors ratchet UP as rules improve; a regression below them fails.
 
     History: r3 close 35.3% all / 39.3% content; r4 (flap-t, velar nk,
     intervocalic th, silent gh, wor-/al- onsets, -ind/-old/-ore/-ear/-ost/
     -all/-o$ families, -ture/-sure/-ere suffixes, -self/-selves and
-    mis-/un-/out-/be- composition, magic-e diphthong guard) 42.4% / 44.7%.
+    mis-/un-/out-/be- composition, magic-e diphthong guard) 42.4% / 44.7%,
+    PER 19.1%. r5 (a-/be- prefix stress with onset-cluster guard, schwa
+    suffix families -ence/-ent/-ion/-able/..., open-syllable o/u,
+    intervocalic s/x voicing, sch/ei/ie/oor/ield/cial/cean, wa-/war-
+    onsets, ear+consonant, -arry/-ery/-eral/-ate families, magic-e
+    n/l/r-cluster block, general -ly/-ied composition, final-syllable
+    ɛ/ɑː reduction) reached 55.9% content on the r4 lexicon, then the
+    lexicon grew ~90 high-frequency words (many irregular BY DESIGN —
+    that is what a lexicon is for), landing at 50.6% all / 53.7% content /
+    PER 15.9% on the larger held-out set.
     """
     from neutts_tpu.text import g2p as g2p_mod
-    from neutts_tpu.text.g2p import RuleG2P
+    from neutts_tpu.text.g2p import RuleG2P, phoneme_error_rate
 
     g = RuleG2P()
     lex = g2p_mod._LEXICON
     words = [w for w in lex if w.isalpha()]
     n_all = n_all_ok = n_content = n_content_ok = 0
+    per_num = per_den = 0.0
     for w in words:
         want = lex.pop(w)
         try:
@@ -284,16 +295,21 @@ def test_g2p_lts_accuracy_metric():
         ok = got == want
         n_all += 1
         n_all_ok += ok
+        n_seg = len(g2p_mod.ipa_segments(want))
+        per_num += phoneme_error_rate(got, want) * n_seg
+        per_den += n_seg
         if len(w) >= 4:  # content-like words — the realistic OOV shape
             n_content += 1
             n_content_ok += ok
     all_acc = n_all_ok / n_all
     content_acc = n_content_ok / n_content
-    print(f"[g2p-metric] LTS exact vs lexicon: all {all_acc:.1%} "
+    per = per_num / per_den
+    print(f"[g2p-metric] LTS vs lexicon: exact all {all_acc:.1%} "
           f"({n_all_ok}/{n_all}), content {content_acc:.1%} "
-          f"({n_content_ok}/{n_content})")
-    assert all_acc >= 0.40, f"LTS all-words accuracy regressed: {all_acc:.1%}"
-    assert content_acc >= 0.42, f"LTS content accuracy regressed: {content_acc:.1%}"
+          f"({n_content_ok}/{n_content}), PER {per:.1%}")
+    assert all_acc >= 0.48, f"LTS all-words accuracy regressed: {all_acc:.1%}"
+    assert content_acc >= 0.51, f"LTS content accuracy regressed: {content_acc:.1%}"
+    assert per <= 0.18, f"LTS phoneme error rate regressed: {per:.1%}"
 
 
 def test_g2p_corpus_lexicon_coverage_metric():
