@@ -99,6 +99,20 @@ def quantize_params(params: Params) -> Params:
     layers = dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
         layers[name] = quantize_weight(layers[name])
+    # fused [wq | wk | wv] copy for the Pallas admission QKV kernel
+    # (ops/mlp.py fused_qkv): one int8 dot + one epilogue instead of the
+    # separate norm/quant/3-GEMM chain (~108 ms of a [256, 512] admission
+    # group under XLA). ~1 MB/layer of duplicate int8 weights; the split
+    # projections stay for the decode path.
+    layers["wqkv"] = {
+        "q": jnp.concatenate(
+            [layers[n]["q"] for n in ("wq", "wk", "wv")], axis=-1),
+        "s": jnp.concatenate(
+            [layers[n]["s"] for n in ("wq", "wk", "wv")], axis=-1),
+        "b": jnp.concatenate(
+            [params["layers"][n].astype(jnp.float32)
+             for n in ("bq", "bk", "bv")], axis=-1),
+    }
     out = dict(params)
     out["layers"] = layers
     head = params["lm_head"] if "lm_head" in params else params["embed"].T
@@ -617,8 +631,35 @@ def _block_fresh(cfg: BackboneConfig, lp: Params, x, cos, sin, mask,
     Pallas prefill kernel (see _attend_block). Returns (x_out, k, v) — k/v
     for the caller to write into the cache.
     """
-    h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-    q, k, v = _qkv(cfg, lp, h, cos, sin)
+    B, S, D = x.shape
+    qkv_out = None
+    if isinstance(lp.get("wq"), dict) and "wqkv" in lp:
+        from neutts_tpu.ops import mlp as mlp_ops
+
+        QKV = lp["wqkv"]["q"].shape[-1]
+        if mlp_ops.use_fused_qkv(D, QKV, B * S):
+            # Pallas fused QKV (prefill/admission): rms_norm + W8A8 quant +
+            # one [D, Q+2KV] int8 dot + bias in a VMEM-resident pass
+            flat = mlp_ops.fused_qkv(
+                x.reshape(B * S, D), lp["attn_norm"],
+                lp["wqkv"]["q"], lp["wqkv"]["s"], lp["wqkv"]["b"],
+                eps=cfg.rms_norm_eps,
+            ).reshape(B, S, QKV)
+            Qd, KVd = cfg.q_dim, cfg.n_kv_heads * cfg.head_dim
+            q = apply_rope(
+                flat[..., :Qd].reshape(B, S, cfg.n_heads, cfg.head_dim),
+                cos, sin)
+            k = apply_rope(
+                flat[..., Qd : Qd + KVd].reshape(
+                    B, S, cfg.n_kv_heads, cfg.head_dim), cos, sin)
+            v = flat[..., Qd + KVd :].reshape(
+                B, S, cfg.n_kv_heads, cfg.head_dim)
+            qkv_out = (q, k, v)
+    if qkv_out is None:
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, h, cos, sin)
+    else:
+        q, k, v = qkv_out
     attn = _attend_block(q, k, v, mask, valid=valid, pads=pads).reshape(
         x.shape[0], x.shape[1], cfg.q_dim)
     x = x + _mm(attn, lp["wo"]).astype(x.dtype)

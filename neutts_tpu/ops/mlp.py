@@ -206,6 +206,90 @@ def fused_mlp(
     )
 
 
+def _qkv_kernel(x_ref, nw_ref, w_ref, s_ref, b_ref, o_ref, *, eps: float):
+    xf = x_ref[:].astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    h = xf * lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
+    xs = jnp.maximum(
+        jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-8) * (1.0 / 127.0)
+    xq = jnp.clip(
+        jnp.round(h * pl.reciprocal(xs, approx=False)), -127, 127
+    ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_ref[:] = (acc.astype(jnp.float32) * xs * s_ref[:]
+                + b_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_qkv(
+    x: jax.Array,  # [M, D] bf16/f32 — pre-norm residual stream
+    norm_w: jax.Array,  # [D]
+    w_q: jax.Array,  # [D, QKV] int8 — fused [wq | wk | wv]
+    w_s: jax.Array,  # [QKV] f32 per-output-channel scales
+    w_b: jax.Array,  # [QKV] f32 fused bias
+    *,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """rms_norm + W8A8 quant + ONE fused QKV projection + bias, VMEM-
+    resident per tile. Returns [M, QKV] in x.dtype (caller splits heads and
+    applies RoPE). Same quantization semantics as the `_mm` path.
+
+    Honest impact note: a knockout probe attributed ~108 ms of a [256, 512]
+    admission group to the XLA QKV chain, but swapping in this kernel moved
+    the END-TO-END group only 573 -> 565 ms — the knockout delta was mostly
+    downstream-fusion pollution (the same lesson as the r4 attention
+    attribution). Kept because the win is real if small, the code is
+    simple, and it removes three separate GEMM epilogues from the path."""
+    M, D = x.shape
+    QKV = w_q.shape[1]
+    bm = _pick_bm(M)
+    assert bm, (M,)
+    kern = functools.partial(_qkv_kernel, eps=eps)
+    return pl.pallas_call(
+        kern,
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, D), lambda m: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, QKV), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QKV), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QKV), lambda m: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, QKV), lambda m: (m, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, QKV), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(x, norm_w.reshape(1, D), w_q, w_s.reshape(1, QKV),
+      w_b.reshape(1, QKV))
+
+
+def use_fused_qkv(d: int, qkv: int, m: int) -> bool:
+    """Gate for fused_qkv: same platform/geometry/row rules as the MLP."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+    return (on_tpu and d % 128 == 0 and qkv % 128 == 0
+            and _pick_bm(m) > 0 and m >= _min_m())
+
+
+def fused_qkv_xla(x, norm_w, w_q, w_s, w_b, *, eps: float = 1e-6):
+    """XLA oracle replicating fused_qkv's exact semantics (tests)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    h = xf * lax.rsqrt(var + eps) * norm_w.astype(jnp.float32)
+    xs = jnp.maximum(
+        jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(h / xs), -127, 127).astype(jnp.int8)
+    acc = jnp.dot(xq, w_q, preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * xs * w_s + w_b).astype(x.dtype)
+
+
 def fused_mlp_xla(
     x, norm_w, wg_q, wg_s, wu_q, wu_s, wd_q, wd_s, *, eps: float = 1e-6,
     n_chunks: int = 1,

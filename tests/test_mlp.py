@@ -124,3 +124,67 @@ def test_interpret_kernel_chunked():
     a = y_kern.astype(jnp.float32)
     b = y_ref.astype(jnp.float32)
     assert float(jnp.max(jnp.abs(a - b))) <= 2e-2 * float(jnp.max(jnp.abs(b)))
+
+
+def test_fused_qkv_matches_oracle_and_xla_path():
+    """fused_qkv (interpret) == its XLA oracle, and the oracle matches the
+    separate rms_norm + _mm(wq/wk/wv) + bias chain to quantization-noise
+    tolerance (identical scale semantics, fused dot)."""
+    rng = np.random.default_rng(4)
+    d, q, kv, m = 128, 128, 64, 64
+    x = jnp.asarray(rng.normal(size=(m, d)) * 0.5, jnp.bfloat16)
+    nw = jnp.asarray(rng.normal(size=(d,)) * 0.1 + 1.0, jnp.float32)
+    ws = [jnp.asarray(rng.normal(size=(d, w)) * d**-0.5, jnp.float32)
+          for w in (q, kv, kv)]
+    bs = [jnp.asarray(rng.normal(size=(w,)) * 0.05, jnp.float32)
+          for w in (q, kv, kv)]
+    qs = [bb.quantize_weight(w) for w in ws]
+    wq = jnp.concatenate([z["q"] for z in qs], axis=-1)
+    sq = jnp.concatenate([z["s"] for z in qs], axis=-1)
+    bq = jnp.concatenate(bs, axis=-1)
+    y_kern = mlp_ops.fused_qkv(x, nw, wq, sq, bq, interpret=True)
+    y_or = mlp_ops.fused_qkv_xla(x, nw, wq, sq, bq)
+    a, b = y_kern.astype(jnp.float32), y_or.astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(a - b))) <= 2e-2 * float(jnp.max(jnp.abs(b)))
+    # vs the separate-projection chain
+    h = bb.rms_norm(x, nw, 1e-6)
+    parts = [bb._mm(h, z).astype(jnp.float32) + c for z, c in zip(qs, bs)]
+    ref = jnp.concatenate(parts, axis=-1)
+    assert float(jnp.max(jnp.abs(b - ref))) <= 3e-2 * float(jnp.max(jnp.abs(ref)))
+
+
+def test_block_fresh_fused_qkv_path_matches_unfused():
+    """Force the fused-QKV gate on (interpret kernels) through a real
+    quantized _block_fresh prefill: tokens from both paths must match to
+    quantization-noise tolerance on the outputs and k/v."""
+    import functools
+
+    from neutts_tpu import config
+
+    cfg = config.TINY
+    params = bb.quantize_params(
+        bb.init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32))
+    lp = jax.tree_util.tree_map(lambda a: a[0], params["layers"])
+    rng = np.random.default_rng(5)
+    B, S = 4, 16
+    x = jnp.asarray(rng.normal(size=(B, S, cfg.hidden_size)) * 0.5, jnp.float32)
+    idx = jnp.arange(S)
+    positions = jnp.broadcast_to(idx[None, :], (B, S))
+    cos, sin = bb.rope_tables(cfg.head_dim, cfg.rope_theta, positions)
+    mask = (idx[None, None, :] <= idx[None, :, None]) & jnp.ones(
+        (B, S, S), bool)
+
+    y_ref, k_ref, v_ref = bb._block_fresh(cfg, lp, x, cos, sin, mask)
+
+    orig_gate, orig_kern = mlp_ops.use_fused_qkv, mlp_ops.fused_qkv
+    mlp_ops.use_fused_qkv = lambda d, qkv, m: True
+    mlp_ops.fused_qkv = functools.partial(orig_kern, interpret=True)
+    try:
+        y_f, k_f, v_f = bb._block_fresh(cfg, lp, x, cos, sin, mask)
+    finally:
+        mlp_ops.use_fused_qkv = orig_gate
+        mlp_ops.fused_qkv = orig_kern
+    for a, b in ((y_f, y_ref), (k_f, k_ref), (v_f, v_ref)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.max(np.abs(a - b)) <= 3e-2 * max(np.max(np.abs(b)), 1e-3)

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-MODES = ("full", "noattn", "writeonly", "nomlp", "nologits")
+MODES = ("full", "noattn", "writeonly", "nomlp", "nologits", "noqkv", "nowo")
 
 
 def run_mode(args) -> None:
@@ -57,6 +57,28 @@ def run_mode(args) -> None:
         bb._attend_block = no_attn
     elif mode == "nomlp":
         bb._mlp = lambda cfg, lp, x: x
+    elif mode == "noqkv":
+        orig_qkv = bb._qkv
+
+        def no_qkv(cfg, lp, h, cos, sin):
+            B, S, _ = h.shape
+            q = jnp.zeros((B, S, cfg.n_heads, cfg.head_dim), h.dtype) + h[..., :1, None]
+            k = jnp.zeros((B, S, cfg.n_kv_heads, cfg.head_dim), h.dtype) + h[..., :1, None]
+            v = k
+            return q, k, v
+
+        bb._qkv = no_qkv
+    elif mode == "nowo":
+        orig_block = bb._block_fresh
+
+        def no_wo(cfg, lp, x, cos, sin, mask, valid=None, pads=None):
+            h = bb.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+            q, k, v = bb._qkv(cfg, lp, h, cos, sin)
+            attn = bb._attend_block(q, k, v, mask, valid=valid, pads=pads)
+            x = x + attn.reshape(x.shape[0], x.shape[1], cfg.q_dim).astype(x.dtype)
+            return bb._mlp(cfg, lp, x), k, v
+
+        bb._block_fresh = no_wo
     elif mode == "nologits":
         orig_logits = bb._logits
 
