@@ -100,6 +100,10 @@ def main() -> None:
     )
     lens = jnp.full((B,), Lp, jnp.int32)
 
+    # drain the async setup work (quantize/speech-head) BEFORE the prefill
+    # timer — eager dispatch otherwise bleeds its cost into the next sync
+    hard_sync(params["lm_head"]["q"] if isinstance(params.get("lm_head"), dict)
+              else params["embed"])
     t0 = time.time()
     state, _ = dec.prefill_init(cfg, scfg, eos, params, tokens, lens, jax.random.PRNGKey(2))
     hard_sync(state.token)

@@ -95,7 +95,17 @@ def quantize_params(params: Params) -> Params:
     int8 x int8 -> int32 on the MXU — 2x bf16 peak on v5e — and weight HBM
     traffic halves. The embedding gather stays bf16 (lookups don't hit the
     MXU); for tied-embedding configs a separate quantized head copy is added.
+
+    Jitted as ONE program: the eager version dispatched ~70 small ops whose
+    per-op remote compiles are too fast to persist in the compile cache —
+    a fresh process paid a variable 10-70 s re-compiling them, and (async
+    dispatch) the cost surfaced inside whatever the CALLER timed next.
     """
+    return _quantize_params_jit(params)
+
+
+@jax.jit
+def _quantize_params_jit(params: Params) -> Params:
     layers = dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
         layers[name] = quantize_weight(layers[name])
