@@ -60,7 +60,11 @@ def sync_cache(apply: bool) -> int:
     is a driver-path program, keyed by content hash), then diff against the
     committed set: stale committed blobs are pruned and missing live blobs
     staged, so each jit-path refactor swaps exactly the live programs
-    (r4 VERDICT #9 — the refresh used to be manual and left strays)."""
+    (r4 VERDICT #9 — the refresh used to be manual and left strays).
+
+    ORDER MATTERS: commit your code changes FIRST — the live set is
+    computed from a clone of HEAD, so running --prune with the refactor
+    still uncommitted syncs against the OLD programs."""
     tmp = Path(tempfile.mkdtemp(prefix="neutts_prune_"))
     subprocess.run(
         ["git", "clone", "--quiet", str(REPO), str(tmp / "repo")], check=True
