@@ -396,7 +396,9 @@ class RuleG2P:
         # doubled-letter guard keeps non-prefix words out (be-tter, a-ttic);
         # the recursion must yield a stressed, consonant-initial remainder
         # (rules out a-pple -> "pple").
-        for pre, head_ipa, min_len in (("a", "ɐ", 5), ("be", "bɪ", 5)):
+        for pre, head_ipa, min_len in (
+                ("a", "ɐ", 5), ("be", "bɪ", 5), ("re", "ɹɪ", 6),
+                ("com", "kəm", 7), ("de", "dɪ", 6), ("per", "pɚ", 7)):
             j = len(pre)
             if (len(w) >= min_len and w.startswith(pre)
                     and w[j] not in "aeiouy'"

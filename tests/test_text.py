@@ -276,7 +276,9 @@ def test_g2p_lts_accuracy_metric():
     ɛ/ɑː reduction) reached 55.9% content on the r4 lexicon, then the
     lexicon grew ~90 high-frequency words (many irregular BY DESIGN —
     that is what a lexicon is for), landing at 50.6% all / 53.7% content /
-    PER 15.9% on the larger held-out set.
+    PER 15.9% on the larger held-out set; a second prefix round (re-,
+    com-, de-, per-, each kept only after measuring a net held-out gain)
+    closed at 51.7% all / 55.1% content / PER 15.4%.
     """
     from neutts_tpu.text import g2p as g2p_mod
     from neutts_tpu.text.g2p import RuleG2P, phoneme_error_rate
@@ -307,9 +309,9 @@ def test_g2p_lts_accuracy_metric():
     print(f"[g2p-metric] LTS vs lexicon: exact all {all_acc:.1%} "
           f"({n_all_ok}/{n_all}), content {content_acc:.1%} "
           f"({n_content_ok}/{n_content}), PER {per:.1%}")
-    assert all_acc >= 0.48, f"LTS all-words accuracy regressed: {all_acc:.1%}"
-    assert content_acc >= 0.51, f"LTS content accuracy regressed: {content_acc:.1%}"
-    assert per <= 0.18, f"LTS phoneme error rate regressed: {per:.1%}"
+    assert all_acc >= 0.50, f"LTS all-words accuracy regressed: {all_acc:.1%}"
+    assert content_acc >= 0.53, f"LTS content accuracy regressed: {content_acc:.1%}"
+    assert per <= 0.17, f"LTS phoneme error rate regressed: {per:.1%}"
 
 
 def test_g2p_corpus_lexicon_coverage_metric():
