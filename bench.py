@@ -30,10 +30,13 @@ def main() -> None:
     ap.add_argument("--model", default="air", choices=["air", "nano", "tiny"])
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--kv-dtype", default="int8",
-                    choices=["int8", "bfloat16", "int4"],
-                    help="KV cache dtype (int8: per-token-scaled; int4: 2x "
-                    "int8's capacity and ~8%% FASTER at ctx >= 1024 after "
-                    "the r3 hi-nibble retune)")
+                    choices=["int8", "bfloat16", "int4", "auto"],
+                    help="KV cache dtype. int8 (default): per-token-scaled, "
+                    "the finest-quantization deployment mode. int4: 2x "
+                    "int8's capacity and measured FASTER at every context "
+                    "after the r5 retunes (+6-10%%; KV_AUTO_r05.json) at "
+                    "coarser 15-level quantization. auto: resolve by "
+                    "config.resolve_kv_dtype.")
     ap.add_argument("--logits-dtype", default="bfloat16", choices=["bfloat16", "float32"],
                     help="decode logits buffer dtype (bf16 halves logit HBM traffic; "
                     "top-k candidates are upcast to f32 before the gumbel draw)")

@@ -155,13 +155,16 @@ class BackboneConfig:
         return dataclasses.replace(self, **kw)
 
 
-# kv_dtype="auto" crossover (total context tokens): below this int8 decode
-# is faster (the int4 kernel's 512-token DMA blocks over-read short live
-# prefixes — ops/attention.py BLOCK_T4 note); at/above, int4 wins (~8%
-# faster at ctx >= 1024, r3 sweep) and halves cache bytes. Serving measured
-# int4 >= int8 everywhere after the r5 staged-int4 work
-# (SERVING_CAPACITY_r05.json), so serving "auto" resolves straight to int4.
-KV_AUTO_CROSSOVER = 1024
+# kv_dtype="auto" crossover (total context tokens): int8 below, int4 at or
+# above. r5 re-measurement moved this to 0 — int4 decode is now FASTER at
+# every context (+9.6% at ctx 128-384, +6.4% at 512-768, +7.8% at 1536;
+# bench.py A/Bs in KV_AUTO_r05.json) after the hi-only nibble decode and
+# the staged-int4 serving work, and serving is at parity or better
+# (SERVING_CAPACITY_r05.json). The r3 "int4 loses below ctx 1024" result
+# is obsolete. int8 stays the DEFAULT kv_dtype for its finer quantization
+# (15 vs 255 levels); "auto" is the explicit performance mode. The
+# crossover mechanism is kept for hardware where the tradeoff returns.
+KV_AUTO_CROSSOVER = 0
 
 
 def resolve_kv_dtype(cfg: "BackboneConfig", total_ctx: int) -> "BackboneConfig":

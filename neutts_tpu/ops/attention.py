@@ -43,10 +43,14 @@ BLOCK_T4 = 512  # int4 default: tokens per DMA block (2 tokens/byte).
 # Tuning (v5e, B=256, ctx 1152, 24 layers): 512 -> 4.36 ms vs int8's 4.47
 # (the kernel reads ceil(len/block) whole blocks, so oversized blocks
 # over-read the live prefix AND pay hi-extraction VPU work on dead bytes:
-# 1024 was ~12% slower than int8, 2048 ~25%). 256 does not compile — its
-# bth=128 scale-row slices hit a Mosaic 128-lane provability limit — so
-# int4 cache lengths must be multiples of 512 (decode.py/batching.py align
-# them; the auto-select below requires bth % 128 == 0).
+# 1024 was ~12% slower than int8, 2048 ~25%). r3 found 256 refused to
+# compile (bth=128 scale-row slices hit a Mosaic 128-lane provability
+# limit at T % 256 != 0); under the current 512-token cache alignment
+# t_half % 128 == 0 always holds, and r5 verified block 256 compiles AND
+# matches the oracle — but 512 remains the speed default: even with
+# over-read, r5 bench A/Bs measured int4 FASTER than int8 at every
+# context (+9.6% at ctx 128-384, +6.4% at 512-768; KV_AUTO_r05.json),
+# so the short-ctx cliff the r4 VERDICT flagged no longer exists.
 
 
 def _unpack4_bf16(b, dtype):

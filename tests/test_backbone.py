@@ -267,10 +267,21 @@ def test_kv_dtype_auto_resolution():
     from neutts_tpu.config import TINY, resolve_kv_dtype
 
     auto = TINY.scaled(kv_dtype="auto")
-    assert resolve_kv_dtype(auto, 512).kv_dtype == "int8"
-    assert resolve_kv_dtype(auto, cfglib.KV_AUTO_CROSSOVER).kv_dtype == "int4"
+    # r5: crossover is 0 — int4 measured faster at every context (bench.py
+    # A/Bs in KV_AUTO_r05.json), so auto always resolves to int4 on this
+    # hardware; the mechanism remains for targets where int8 wins short ctx
+    assert resolve_kv_dtype(auto, 512).kv_dtype == "int4"
     assert resolve_kv_dtype(auto, 2048).kv_dtype == "int4"
     assert resolve_kv_dtype(TINY, 2048).kv_dtype == TINY.kv_dtype
+    # the crossover path itself (exercised with a nonzero threshold)
+    import neutts_tpu.config as _c
+    old = _c.KV_AUTO_CROSSOVER
+    _c.KV_AUTO_CROSSOVER = 1024
+    try:
+        assert resolve_kv_dtype(auto, 512).kv_dtype == "int8"
+        assert resolve_kv_dtype(auto, 1024).kv_dtype == "int4"
+    finally:
+        _c.KV_AUTO_CROSSOVER = old
 
 
 def test_generate_auto_matches_explicit():
@@ -287,13 +298,13 @@ def test_generate_auto_matches_explicit():
     scfg = config.SamplingConfig(greedy=True, min_new_tokens=2)
     toks, lens = dec.pad_prompts([[5, 6, 7, 8], [9, 10]], pad_id=0, bucket=128)
     key = jax.random.PRNGKey(1)
-    # TINY max_context 512: bucket 128 + cap -> total < 1024 -> int8
+    # r5 crossover 0: auto resolves to int4 at every context
     r_auto = dec.generate(cfg.scaled(kv_dtype="auto"), scfg, eos, 16,
                           params, toks, lens, key)
-    r_int8 = dec.generate(cfg.scaled(kv_dtype="int8"), scfg, eos, 16,
-                          params, toks, lens, key)
+    r_int4s = dec.generate(cfg.scaled(kv_dtype="int4"), scfg, eos, 16,
+                           params, toks, lens, key)
     np.testing.assert_array_equal(np.asarray(r_auto.tokens),
-                                  np.asarray(r_int8.tokens))
+                                  np.asarray(r_int4s.tokens))
     # long-window config resolves to int4
     cfg_long = cfg.scaled(kv_dtype="auto", max_context=2048)
     r_auto4 = dec.generate(cfg_long, scfg, eos, 1024, params, toks, lens, key)
