@@ -136,13 +136,16 @@ class NeuTTS:
 
         Padding is LEFT padding that consumes context, so a bucket at
         max_context would leave max_new = 0. Near the window edge we pad to
-        the exact prompt length instead (one extra compile, full room).
+        the exact prompt length instead (one extra compile, full room) —
+        rounded up to EVEN, because int4 KV caches (kv_dtype int4/auto)
+        pack token pairs and require even prompt buckets; longest <
+        max_context always holds here, so +1 still fits.
         """
         try:
             b = dec.bucket_length(longest)
         except ValueError:
-            return longest
-        return b if b < self.max_context else longest
+            return longest + (longest & 1)
+        return b if b < self.max_context else longest + (longest & 1)
 
     def _vocode(self, codes: Sequence[int]) -> np.ndarray:
         if len(codes) == 0:

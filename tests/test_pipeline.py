@@ -109,3 +109,26 @@ def test_checkpoint_roundtrip(tmp_path, tts, ref_codes):
     w1 = tts.infer(TEXT, ref_codes, REF_TEXT)
     w2 = tts2.infer(TEXT, ref_codes, REF_TEXT)
     np.testing.assert_allclose(w1, w2, atol=1e-5)
+
+
+def test_near_window_odd_prompt_int4_auto():
+    """Near the context edge _pick_bucket pads to the exact prompt length;
+    an ODD length must round to even or int4 (kv auto) prefill asserts.
+    Regression for the r5 auto-always-int4 change."""
+    import jax
+
+    from neutts_tpu import config
+    from neutts_tpu.pipeline import NeuTTS
+
+    cfg = config.TINY.scaled(kv_dtype="auto")
+    tts = NeuTTS.initialize_random(backbone_cfg=cfg, seed=0)
+    assert tts._pick_bucket(509) == 510  # TINY max_context 512
+    assert tts._pick_bucket(508) == 508
+    # and an in-range bucket stays bucketed
+    assert tts._pick_bucket(100) == dec_bucket(100)
+
+
+def dec_bucket(n):
+    from neutts_tpu.runtime.decode import bucket_length
+
+    return bucket_length(n)
