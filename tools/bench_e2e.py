@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--segment", type=int, default=32)
     ap.add_argument("--vocoder-batch", type=int, default=32,
                     help="utterances per vocoder decode batch")
+    ap.add_argument("--sampling", default="speech", choices=["speech", "full"],
+                    help="speech (default): the TTS deployment mode — "
+                    "sampling constrained to speech tokens + EOS through the "
+                    "pre-sliced speech head, same default as "
+                    "tools/bench_serving.py. full: unconstrained 217k-vocab "
+                    "head (the pre-r5 behavior).")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -69,6 +75,8 @@ def main():
     wm = get_watermarker()
 
     sampling = config.SamplingConfig(min_new_tokens=args.gen + 1)
+    if args.sampling == "speech":
+        sampling = sampling.constrained_to(layout)
     eng = Engine(cfg, params, eos_id=layout.speech_gen_end,
                  n_slots=args.slots, sampling=sampling,
                  segment_steps=args.segment, seed=0)
