@@ -863,6 +863,7 @@ def forward_train(
     params: Params,
     tokens: jax.Array,  # [B, S] int32, RIGHT-padded (training layout)
     attn_mask: jax.Array,  # [B, S] bool — True on real tokens
+    remat: bool = False,
 ) -> jax.Array:
     """Full-sequence causal forward for training: logits [B, S, V].
 
@@ -870,6 +871,13 @@ def forward_train(
     path, reference examples/finetune.py:139-165 — HF Trainer fwd/bwd).
     Right padding here (vs LEFT for inference) matches the reference's
     training preprocessing (examples/finetune.py:78-93).
+
+    remat=True wraps each layer in jax.checkpoint: backward recomputes the
+    block activations instead of saving them, cutting peak training memory
+    from O(L) to O(1) layer activations (~25x less for Air at seq 2048) at
+    ~1/3 extra forward FLOPs — the standard TPU memory/compute trade for
+    long-sequence finetuning. Gradients are bit-identical (pinned in
+    tests/test_train.py).
     """
     B, S = tokens.shape
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[tokens]
@@ -884,6 +892,8 @@ def forward_train(
         x, _, _ = _block_fresh(cfg, lp, x, cos, sin, mask)
         return x, None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return _logits(cfg, params, x)

@@ -43,6 +43,10 @@ class TrainConfig:
     b2: float = 0.999
     grad_clip: float = 1.0
     seed: int = 1337  # reference finetune_config.yaml:5
+    # jax.checkpoint each layer: backward recomputes activations instead of
+    # saving all L of them — the standard TPU memory/compute trade for long
+    # sequences (backbone.forward_train). Gradients identical (tested).
+    remat: bool = False
 
 
 class TrainState(NamedTuple):
@@ -77,8 +81,10 @@ def loss_fn(
     tokens: jax.Array,  # [B, S] int32, right-padded
     labels: jax.Array,  # [B, S] int32, IGNORE_INDEX where unsupervised
     attn_mask: jax.Array,  # [B, S] bool
+    remat: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    logits = bb.forward_train(cfg, params, tokens, attn_mask)  # [B, S, V]
+    logits = bb.forward_train(cfg, params, tokens, attn_mask,
+                              remat=remat)  # [B, S, V]
     # next-token prediction: logits at t predict labels at t+1
     logits = logits[:, :-1, :]
     targets = labels[:, 1:]
@@ -107,7 +113,8 @@ def train_step(
     attn_mask: jax.Array,
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     grad_fn = jax.value_and_grad(
-        lambda p: loss_fn(cfg, p, tokens, labels, attn_mask), has_aux=True
+        lambda p: loss_fn(cfg, p, tokens, labels, attn_mask,
+                          remat=tc.remat), has_aux=True
     )
     (loss, metrics), grads = grad_fn(state.params)
     updates, opt_state = make_optimizer(tc).update(grads, state.opt_state, state.params)

@@ -118,3 +118,32 @@ def test_codec_recon_training_sharded_matches_single():
     np.testing.assert_allclose(
         float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-5
     )
+
+
+def test_remat_gradients_match():
+    """TrainConfig.remat (r5): jax.checkpoint over the layer scan must not
+    change the math — loss and gradients equal the non-remat step."""
+    import numpy as np
+
+    from neutts_tpu import config
+    from neutts_tpu.train import trainer as tr
+
+    cfg = config.TINY
+    key = jax.random.PRNGKey(0)
+    tc0 = tr.TrainConfig(max_steps=10)
+    tc1 = tr.TrainConfig(max_steps=10, remat=True)
+    s0 = tr.init_state(cfg, tc0, key)
+    s1 = tr.init_state(cfg, tc1, key)
+    B, S = 2, 16
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(1, 300, (B, S)), jnp.int32)
+    labels = jnp.where(jnp.arange(S)[None, :] >= 4, toks, tr.IGNORE_INDEX)
+    maskv = jnp.ones((B, S), bool)
+    s0n, m0 = tr.train_step(cfg, tc0, s0, toks, labels, maskv)
+    s1n, m1 = tr.train_step(cfg, tc1, s1, toks, labels, maskv)
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-6)
+    a = jax.tree_util.tree_leaves(s0n.params)
+    b = jax.tree_util.tree_leaves(s1n.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32), atol=1e-6)
