@@ -103,10 +103,11 @@ def main() -> None:
     )
     lens = jnp.full((B,), Lp, jnp.int32)
 
-    # drain the async setup work (quantize/speech-head) BEFORE the prefill
-    # timer — eager dispatch otherwise bleeds its cost into the next sync
-    hard_sync(params["lm_head"]["q"] if isinstance(params.get("lm_head"), dict)
-              else params["embed"])
+    # drain the async setup work BEFORE the prefill timer — eager dispatch
+    # otherwise bleeds its cost into the next sync. Sync the LAST-dispatched
+    # program's output: the speech head when present, else the quantized head
+    last = params.get("lm_head_speech", params.get("lm_head", params["embed"]))
+    hard_sync(last["q"] if isinstance(last, dict) else last)
     t0 = time.time()
     state, _ = dec.prefill_init(cfg, scfg, eos, params, tokens, lens, jax.random.PRNGKey(2))
     hard_sync(state.token)

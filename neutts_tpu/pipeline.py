@@ -137,15 +137,20 @@ class NeuTTS:
         Padding is LEFT padding that consumes context, so a bucket at
         max_context would leave max_new = 0. Near the window edge we pad to
         the exact prompt length instead (one extra compile, full room) —
-        rounded up to EVEN, because int4 KV caches (kv_dtype int4/auto)
-        pack token pairs and require even prompt buckets; longest <
-        max_context always holds here, so +1 still fits.
+        rounded up to EVEN when that still fits under max_context, because
+        int4 KV caches (kv_dtype int4/auto) pack token pairs and prefer
+        even prompt buckets. At longest == max_context - 1 (odd) no even
+        bucket fits, so the exact odd length is kept and kv auto resolution
+        falls back to int8 for that call (runtime/decode.py parity guard).
         """
+        def even(n: int) -> int:
+            return n + (n & 1) if n + (n & 1) < self.max_context else n
+
         try:
             b = dec.bucket_length(longest)
         except ValueError:
-            return longest + (longest & 1)
-        return b if b < self.max_context else longest + (longest & 1)
+            return even(longest)
+        return b if b < self.max_context else even(longest)
 
     def _vocode(self, codes: Sequence[int]) -> np.ndarray:
         if len(codes) == 0:

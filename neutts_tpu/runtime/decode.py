@@ -162,12 +162,16 @@ def generate(
     """Jitted prefill + AR decode. See `_generate_impl` for semantics.
 
     kv_dtype="auto" resolves here from the actual total context of this
-    call (prompt bucket + generation budget): int8 below
-    config.KV_AUTO_CROSSOVER, int4 at/above (config.resolve_kv_dtype)."""
+    call (prompt bucket + generation budget) via config.resolve_kv_dtype.
+    int4 packs token pairs and needs an EVEN prompt bucket; an odd bucket
+    (only reachable at the max_context-1 window edge) makes auto fall back
+    to int8 instead of tripping the int4 prefill assertion."""
     from neutts_tpu.config import resolve_kv_dtype
 
     cap = max(min(max_new, cfg.max_context - 1), 1)
     cfg = resolve_kv_dtype(cfg, int(tokens.shape[1]) + cap)
+    if cfg.kv_dtype == "int4" and tokens.shape[1] % 2:
+        cfg = cfg.scaled(kv_dtype="int8")
     return _generate_jit(cfg, sampling, eos_id, max_new, params, tokens, prompt_lens, key)
 
 
@@ -297,6 +301,9 @@ def prefill_init(
     from neutts_tpu.config import resolve_kv_dtype
 
     cfg = resolve_kv_dtype(cfg, cfg.max_context)
+    if cfg.kv_dtype == "int4" and tokens.shape[1] % 2:
+        # odd bucket (max_context-1 window edge): int4 packs token pairs
+        cfg = cfg.scaled(kv_dtype="int8")
     return _prefill_init_jit(cfg, sampling, eos_id, params, tokens,
                              prompt_lens, key)
 

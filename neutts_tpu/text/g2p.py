@@ -271,11 +271,11 @@ _SUFFIX_FAMILIES = (
     ("ion", "jən", "cv"),
     ("ent", "ənt", "cv"),
     ("ant", "ənt", "cv"),
+    ("eral", "ɹəl", "v"),
     ("all", "ɔːl", ""),
     ("alk", "ɔːk", ""),
     ("al", "əl", "cv"),
     ("le", "əl", "cv"),
-    ("eral", "ɹəl", "v"),
     ("ate", "ət", "cv"),
     ("arry", "æɹi", ""),
     ("erry", "ɛɹi", ""),
@@ -674,8 +674,8 @@ class RuleG2P:
         if w.endswith("ing"):
             # stems shorter than 3 are suffix coincidences ('thing' is not
             # the+ing); 'be'/'do'/'go' are the legitimate short stems
-            # bare stems need >= 3 letters ('thing' is not th+ing), e-stems
-            # >= 4 ('thing' is not the+ing either); be/do/go legitimate
+            # bare stems need >= 3 letters ('thing' is not th+ing) except
+            # be/do/go; e-stems >= 4 ('thing' is not the+ing either)
             stems = [s_ for s_ in (w[:-3],) if len(s_) >= 3
                      or s_ in ("be", "do", "go")]
             stems += [s_ for s_ in (w[:-3] + "e",) if len(s_) >= 4]

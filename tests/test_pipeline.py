@@ -124,6 +124,21 @@ def test_near_window_odd_prompt_int4_auto():
     tts = NeuTTS.initialize_random(backbone_cfg=cfg, seed=0)
     assert tts._pick_bucket(509) == 510  # TINY max_context 512
     assert tts._pick_bucket(508) == 508
+    # max_context-1 odd: no even bucket fits under the window — the exact
+    # odd length is kept and decode's auto resolution falls back to int8
+    assert tts._pick_bucket(511) == 511
+    import jax
+    import numpy as np
+
+    from neutts_tpu.models import backbone as bbm
+    from neutts_tpu.runtime import decode as dec2
+
+    params = bbm.init_params(cfg, jax.random.PRNGKey(0))
+    toks, lens = dec2.pad_prompts([[5] * 511], pad_id=0, bucket=511)
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=1)
+    res = dec2.generate(cfg, scfg, cfg.layout.speech_gen_end, 4, params,
+                        toks, lens, jax.random.PRNGKey(1))
+    assert np.asarray(res.tokens).shape[0] == 1  # runs without asserting
     # and an in-range bucket stays bucketed
     assert tts._pick_bucket(100) == dec_bucket(100)
 

@@ -125,10 +125,7 @@ def main() -> None:
         x, nw, qg["q"], qg["s"], qu["q"], qu["s"], qd["q"], qd["s"],
         eps=cfg.rms_norm_eps))
 
-    def xla_mlp(x):
-        return bb._mlp(cfg, lp, x[None])[0]  # uses XLA path when M small...
-
-    # force the XLA path by calling the un-gated internals directly
+    # the XLA path, called via the un-gated internals directly
     def xla_mlp_forced(x):
         h = bb.rms_norm(x, nw, cfg.rms_norm_eps)
         gate = bb._mm(h, qg)
