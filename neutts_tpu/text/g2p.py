@@ -157,6 +157,16 @@ _LEXICON = {
     "actually": "ˈæktʃuːəli", "basically": "bˈeɪsɪkli",
     "literally": "lˈɪɾɚəli", "probably": "pɹˈɑːbəbli",
     "definitely": "dˈɛfɪnətli", "certainly": "sˈɜːtənli",
+    # number words (expand_numbers feeds these on every digit sequence)
+    "zero": "zˈɪɹoʊ", "five": "fˈaɪv", "six": "sˈɪks", "nine": "nˈaɪn",
+    "eleven": "ɪlˈɛvən", "twelve": "twˈɛlv", "thirteen": "θɜːtˈiːn",
+    "fourteen": "fɔːɹtˈiːn", "fifteen": "fɪftˈiːn", "sixteen": "sɪkstˈiːn",
+    "seventeen": "sɛvəntˈiːn", "eighteen": "eɪtˈiːn",
+    "nineteen": "naɪntˈiːn", "twenty": "twˈɛnti", "thirty": "θˈɜːɾi",
+    "forty": "fˈoːɹɾi", "fifty": "fˈɪfti", "sixty": "sˈɪksti",
+    "seventy": "sˈɛvənti", "eighty": "ˈeɪɾi", "ninety": "nˈaɪnti",
+    "hundred": "hˈʌndɹəd", "thousand": "θˈaʊzənd", "million": "mˈɪliən",
+    "billion": "bˈɪliən", "minus": "mˈaɪnəs",
     # high-frequency general-English block (r5 growth beyond the fixture
     # corpus: conversational + news-register words)
     "money": "mˈʌni", "business": "bˈɪznəs", "company": "kˈʌmpəni",
@@ -391,6 +401,23 @@ class RuleG2P:
         if w.endswith("ly") and len(w) >= 6 and w[:-2] not in _LEXICON \
                 and not w.endswith("ically"):
             return self.word_to_ipa(w[:-2]) + "li"
+        if w.endswith("ing") and len(w) >= 7 and w[:-3] not in _LEXICON:
+            # general -ing on OOV stems (lexicon stems composed above in
+            # _morphology): doubled-consonant stems un-double (planning ->
+            # plan), else prefer the e-stem when the bare stem ends in a
+            # lone consonant after a single vowel... keep it simple: bare
+            # stem, with doubled-consonant collapse handled by _lts anyway
+            stem = w[:-4] if len(w) >= 7 and w[-4] == w[-5] else w[:-3]
+            ipa = self.word_to_ipa(stem)
+            return ipa + "ɪŋ"
+        if w.endswith("ed") and len(w) >= 6 and w[:-2] not in _LEXICON \
+                and w[:-1] not in _LEXICON and not w.endswith("eed"):
+            stem = w[:-3] if w[-3] == w[-4] else w[:-2]
+            ipa = self.word_to_ipa(stem)
+            if ipa.endswith(("t", "d")):
+                return ipa + "ɪd"
+            last = ipa[-1:]
+            return ipa + ("t" if last in _VOICELESS else "d")
         # unstressed a-/be- prefixes shift stress rightward (a-bout, be-low,
         # a-round, be-tween — the dominant pattern for these onsets). The
         # doubled-letter guard keeps non-prefix words out (be-tter, a-ttic);
