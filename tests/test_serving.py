@@ -568,3 +568,29 @@ def test_pallas_prefill_write_matches_xla_scatter_int4(params, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(getattr(sA.cache, field)),
             np.asarray(getattr(sB.cache, field)), err_msg=field)
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_engine_randomized_workloads_match_lockstep(params, seed):
+    """Property test over random workload shapes: any mix of prompt
+    lengths, budgets, slot counts, and segment sizes must reproduce the
+    lockstep oracle per request — exercising admission grouping, predictive
+    retirement, pipelined collection, and slot reuse paths together."""
+    rng = np.random.default_rng(seed)
+    n_slots = int(rng.integers(1, 5))
+    segment = int(rng.choice([8, 16]))
+    scfg = config.SamplingConfig(greedy=True, min_new_tokens=2)
+    eng = Engine(CFG, params, eos_id=EOS, n_slots=n_slots, sampling=scfg,
+                 segment_steps=segment)
+    n_req = int(rng.integers(3, 9))
+    prompts = [
+        [int(t) for t in rng.integers(1, 300, size=int(rng.integers(1, 90)))]
+        for _ in range(n_req)
+    ]
+    budgets = [int(rng.integers(1, 40)) for _ in range(n_req)]
+    rids = [eng.submit(p, max_new=b) for p, b in zip(prompts, budgets)]
+    results = eng.run()
+    assert set(results) == set(rids)
+    for rid, p, b in zip(rids, prompts, budgets):
+        want = lockstep_greedy(params, p, b)
+        assert results[rid] == want, (seed, rid, results[rid][:6], want[:6])
