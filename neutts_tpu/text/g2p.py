@@ -449,7 +449,13 @@ class RuleG2P:
                 continue
             if constraint == "cv" and (not head or head[-1] in "aeiou"):
                 continue
-            ipa = self._lts(_DOUBLE_RE.sub(r"\1", head)) + tail
+            head_ipa = self._lts(_DOUBLE_RE.sub(r"\1", head))
+            if (tail[:1] in ("ə", "ɛ", "æ", "ɪ") and head_ipa.endswith("t")
+                    and len(head_ipa) >= 2 and head_ipa[-2] in _VOWEL_IPA):
+                # en-us flap across the suffix boundary: liTTle, toTal,
+                # meTal -> ɾ (the in-body flap rule cannot see the suffix)
+                head_ipa = head_ipa[:-1] + "ɾ"
+            ipa = head_ipa + tail
             return self._reduce_final(self._stress(ipa))
         # -ive on Latinate stems reads ɪv (impressive, responsive); short
         # words keep the magic-e path (five, drive)
@@ -634,6 +640,12 @@ class RuleG2P:
             ipa.endswith("ʃən") or ipa.endswith("ʒən") or ipa.endswith("ɪk")
         ):
             at = nuclei[-2]
+        elif len(nuclei) >= 2 and (
+            ipa.endswith("iːn") or ipa.endswith("uːn") or ipa.endswith("iː")
+        ):
+            # final-stress families: -teen numbers (thirteen), -oon
+            # (afternoon, balloon), word-final -ee (agree, degree)
+            at = nuclei[-1]
         return ipa[:at] + "ˈ" + ipa[at:]
 
     @classmethod
