@@ -33,6 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_T = 256  # cache-time tile per DMA (dynamic trip count over live prefix)
+# r5 re-check: 128 measured 59.9k tok/s vs 256's 66.4k at the bench shape —
+# per-chunk issue overhead still dominates below 256 despite the r2
+# cross-row softmax vectorization; 256 stays optimal (row_block 8/32 also
+# re-measured worse than 16 in r5).
 # 256 vs 512 tradeoff (v5e, B=512, Air, int8 KV, 24 layers): the kernel reads
 # ceil(len/block) full blocks, so oversized blocks over-read the live prefix —
 # at the REAL TTS decode range (cloning prompt ~460 + <=250 generated, ctx
